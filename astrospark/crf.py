@@ -1,0 +1,285 @@
+"""Linear-chain CRF scorer/decoder (pure numpy) + deterministic training.
+
+Replaces the reference's Wapiti JNI hop
+(/root/reference/src/main/java/org/grobid/core/engines/AstroParser.java:122,303,344
+calling grobid-core ``label()`` → native Wapiti) with broadcastable numpy
+weight tables and a batched Viterbi that decodes every sequence of an Arrow
+batch in a handful of numpy ops per time-step — no per-token Python on the
+Spark path.
+
+Model shape: for each feature template k (templates.py), a value→row-id dict
+and a dense (n_values+1, 3) weight matrix (last row = OOV/unseen → 0), plus a
+3×3 label-transition matrix (the template file's ``B`` line). Score of a
+label sequence y is sum_t emit[t, y_t] + sum_{t>0} T[y_{t-1}, y_t].
+
+The shipped weights artifact (resources/weights.npz) is trained here with a
+seeded averaged structured perceptron on the synthetic annotated corpus
+(corpus.py) — the reference's own binary model is absent from its repo
+(/root/reference/.MISSING_LARGE_BLOBS), so the model artifact is ours by
+construction; reference parity is at the semantics level (features, decoding,
+extraction), verified span-for-span against the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from astrospark.templates import BOUNDARY, N_LABELS, TEMPLATES
+
+# ---------------------------------------------------------------------------
+# template value construction (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def shift_within_sequences(col: np.ndarray, seq_ids: np.ndarray, d: int) -> np.ndarray:
+    """Value of ``col`` at position t+d, or BOUNDARY when t+d leaves the
+    sequence. ``seq_ids`` must be grouped (all positions of a sequence
+    contiguous). Fully vectorized."""
+    n = len(col)
+    if d == 0:
+        return col
+    out = np.full(n, BOUNDARY, dtype=object)
+    if d > 0:
+        if n > d:
+            ok = seq_ids[d:] == seq_ids[:-d]
+            out[: n - d][ok] = col[d:][ok]
+    else:
+        k = -d
+        if n > k:
+            ok = seq_ids[k:] == seq_ids[:-k]
+            out[k:][ok] = col[: n - k][ok]
+    return out
+
+
+def template_values(cols: list[np.ndarray], seq_ids: np.ndarray) -> list[np.ndarray]:
+    """For each template, the (possibly compound) observation string per
+    position. Compound values are joined with '/'."""
+    n = len(seq_ids)
+    values: list[np.ndarray] = []
+    for _name, spec in TEMPLATES:
+        parts = [shift_within_sequences(cols[c], seq_ids, d) for d, c in spec]
+        if len(parts) == 1:
+            values.append(parts[0])
+        else:
+            s = pd.Series(parts[0], dtype="object")
+            joined = s.str.cat([pd.Series(p, dtype="object") for p in parts[1:]], sep="/")
+            values.append(joined.to_numpy())
+    return values
+
+
+# ---------------------------------------------------------------------------
+# model container
+# ---------------------------------------------------------------------------
+
+
+class CrfModel:
+    __slots__ = ("vocabs", "weights", "trans")
+
+    def __init__(self, vocabs: list[dict], weights: list[np.ndarray], trans: np.ndarray):
+        self.vocabs = vocabs
+        self.weights = weights
+        self.trans = trans
+
+    def save(self, path: str) -> None:
+        arrays: dict[str, np.ndarray] = {"trans": self.trans}
+        for k, (vocab, w) in enumerate(zip(self.vocabs, self.weights)):
+            vals = np.empty(len(vocab), dtype=object)
+            for v, i in vocab.items():
+                vals[i] = v
+            arrays[f"vals_{k}"] = vals.astype("U")
+            arrays[f"w_{k}"] = w.astype(np.float32)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "CrfModel":
+        data = np.load(path, allow_pickle=False)
+        vocabs, weights = [], []
+        for k in range(len(TEMPLATES)):
+            vals = data[f"vals_{k}"]
+            vocabs.append({str(v): i for i, v in enumerate(vals)})
+            weights.append(data[f"w_{k}"].astype(np.float32))
+        return cls(vocabs, weights, data["trans"].astype(np.float32))
+
+    # -- scoring ------------------------------------------------------------
+
+    def emissions(self, cols: list[np.ndarray], seq_ids: np.ndarray) -> np.ndarray:
+        """(n, L) emission scores for a batch of concatenated sequences."""
+        n = len(seq_ids)
+        scores = np.zeros((n, N_LABELS), dtype=np.float32)
+        values = template_values(cols, seq_ids)
+        for k, vals in enumerate(values):
+            vocab = self.vocabs[k]
+            w = self.weights[k]
+            oov = len(vocab)
+            ids = pd.Series(vals, dtype="object").map(vocab).fillna(oov).to_numpy(dtype=np.int64)
+            scores += w[ids]
+        return scores
+
+
+# ---------------------------------------------------------------------------
+# Viterbi — batched over many sequences at once
+# ---------------------------------------------------------------------------
+
+
+def viterbi_single(emit: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Scalar-path Viterbi for one sequence (used by training + oracle)."""
+    T = emit.shape[0]
+    if T == 0:
+        return np.empty(0, dtype=np.int64)
+    delta = emit[0].astype(np.float64).copy()
+    psi = np.zeros((T, N_LABELS), dtype=np.int64)
+    for t in range(1, T):
+        cand = delta[:, None] + trans
+        psi[t] = np.argmax(cand, axis=0)
+        delta = cand[psi[t], np.arange(N_LABELS)] + emit[t]
+    labels = np.empty(T, dtype=np.int64)
+    labels[-1] = int(np.argmax(delta))
+    for t in range(T - 1, 0, -1):
+        labels[t - 1] = psi[t, labels[t]]
+    return labels
+
+
+def viterbi_batched(emit: np.ndarray, seq_ids: np.ndarray, trans: np.ndarray,
+                    bucket_size: int = 512) -> np.ndarray:
+    """Decode all sequences in a concatenated batch.
+
+    Sequences are bucketed by length (after sorting) so padding waste stays
+    bounded even with heavy document-length skew; within a bucket the DP runs
+    as (S, L) numpy ops per time-step — python loops scale with max sequence
+    length, not token count.
+    """
+    n = len(seq_ids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # sequence boundaries (seq_ids grouped)
+    change = np.flatnonzero(np.diff(seq_ids)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    lengths = ends - starts
+    order = np.argsort(lengths, kind="stable")
+
+    out = np.empty(n, dtype=np.int64)
+    transT = trans.astype(np.float32)
+
+    for b0 in range(0, len(order), bucket_size):
+        idx = order[b0 : b0 + bucket_size]
+        ls = lengths[idx]
+        S = len(idx)
+        Tmax = int(ls.max())
+        # gather into (S, Tmax, L) padded tensor
+        em = np.zeros((S, Tmax, N_LABELS), dtype=np.float32)
+        for si, qi in enumerate(idx):
+            em[si, : lengths[qi]] = emit[starts[qi] : ends[qi]]
+        delta = em[:, 0, :].copy()  # (S, L)
+        psi = np.zeros((S, Tmax, N_LABELS), dtype=np.int8)
+        active_len = ls
+        for t in range(1, Tmax):
+            cand = delta[:, :, None] + transT[None, :, :]  # (S, L, L)
+            best_prev = cand.argmax(axis=1)  # (S, L)
+            best_score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
+            new_delta = best_score + em[:, t, :]
+            alive = (active_len > t)[:, None]
+            delta = np.where(alive, new_delta, delta)
+            psi[:, t, :] = best_prev
+        last = delta.argmax(axis=1)  # (S,)
+        # backtrack (vectorized across the bucket)
+        labels_pad = np.zeros((S, Tmax), dtype=np.int64)
+        cur = last
+        t_idx = ls - 1
+        labels_pad[np.arange(S), t_idx] = cur
+        for t in range(Tmax - 1, 0, -1):
+            active = t_idx >= t
+            prev = psi[np.arange(S), t, cur]
+            cur = np.where(active, prev, cur)
+            pos = t - 1
+            write = active
+            labels_pad[np.arange(S)[write], pos] = cur[write]
+        for si, qi in enumerate(idx):
+            out[starts[qi] : ends[qi]] = labels_pad[si, : lengths[qi]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# training — averaged structured perceptron (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def build_vocabs(all_values: list[list[np.ndarray]]) -> list[dict]:
+    """Observation vocabularies per template from training sequences."""
+    vocabs: list[dict] = []
+    for k in range(len(TEMPLATES)):
+        vocab: dict = {}
+        for values in all_values:
+            for v in values[k]:
+                if v not in vocab:
+                    vocab[v] = len(vocab)
+        vocabs.append(vocab)
+    return vocabs
+
+
+def train_perceptron(
+    sequences: list[tuple[list[np.ndarray], np.ndarray]],
+    n_iter: int = 8,
+    seed: int = 42,
+) -> CrfModel:
+    """``sequences``: per sequence, (feature columns list, gold label array).
+
+    Averaged structured perceptron with Viterbi decoding; deterministic
+    shuffling with the given seed.
+    """
+    per_seq_values: list[list[np.ndarray]] = []
+    golds: list[np.ndarray] = []
+    for cols, gold in sequences:
+        sid = np.zeros(len(gold), dtype=np.int64)
+        per_seq_values.append(template_values(cols, sid))
+        golds.append(np.asarray(gold, dtype=np.int64))
+
+    vocabs = build_vocabs(per_seq_values)
+    # pre-map values to ids (OOV row never used in training)
+    per_seq_ids = [
+        [np.array([vocabs[k][v] for v in vals[k]], dtype=np.int64) for k in range(len(TEMPLATES))]
+        for vals in per_seq_values
+    ]
+
+    weights = [np.zeros((len(v) + 1, N_LABELS), dtype=np.float64) for v in vocabs]
+    acc = [np.zeros_like(w) for w in weights]
+    trans = np.zeros((N_LABELS, N_LABELS), dtype=np.float64)
+    trans_acc = np.zeros_like(trans)
+    c = 1
+
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(sequences))
+    for _epoch in range(n_iter):
+        rng.shuffle(order)
+        for qi in order:
+            ids_k = per_seq_ids[qi]
+            gold = golds[qi]
+            T = len(gold)
+            emit = np.zeros((T, N_LABELS), dtype=np.float64)
+            for k in range(len(TEMPLATES)):
+                emit += weights[k][ids_k[k]]
+            pred = viterbi_single(emit, trans)
+            if not np.array_equal(pred, gold):
+                diff = pred != gold
+                pos = np.flatnonzero(diff)
+                for k in range(len(TEMPLATES)):
+                    ids = ids_k[k]
+                    np.add.at(weights[k], (ids[pos], gold[pos]), 1.0)
+                    np.add.at(weights[k], (ids[pos], pred[pos]), -1.0)
+                    np.add.at(acc[k], (ids[pos], gold[pos]), float(c))
+                    np.add.at(acc[k], (ids[pos], pred[pos]), -float(c))
+                if T > 1:
+                    gb = np.ravel_multi_index((gold[:-1], gold[1:]), trans.shape)
+                    pb = np.ravel_multi_index((pred[:-1], pred[1:]), trans.shape)
+                    np.add.at(trans.ravel(), gb, 1.0)
+                    np.add.at(trans.ravel(), pb, -1.0)
+                    np.add.at(trans_acc.ravel(), gb, float(c))
+                    np.add.at(trans_acc.ravel(), pb, -float(c))
+            c += 1
+
+    avg_w = [
+        (w - a / float(c)).astype(np.float32) for w, a in zip(weights, acc)
+    ]
+    avg_t = (trans - trans_acc / float(c)).astype(np.float32)
+    return CrfModel(vocabs, avg_w, avg_t)
