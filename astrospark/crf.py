@@ -52,20 +52,47 @@ def shift_within_sequences(col: np.ndarray, seq_ids: np.ndarray, d: int) -> np.n
     return out
 
 
+# separator for compound-template observation values; \x1f cannot appear in
+# tokens (it is not producible by the tokenizer's delimiters/runs ambiguity-free
+# join matters: '/' IS a valid single-char token)
+SEP = "\x1f"
+
+
 def template_values(cols: list[np.ndarray], seq_ids: np.ndarray) -> list[np.ndarray]:
     """For each template, the (possibly compound) observation string per
-    position. Compound values are joined with '/'."""
-    n = len(seq_ids)
+    position. Compound values are joined with SEP. (Training/oracle path —
+    inference uses the factorized fast path in CrfModel.emissions.)"""
     values: list[np.ndarray] = []
+    cols = [
+        c if isinstance(c, np.ndarray) else np.asarray(c, dtype=object) for c in cols
+    ]
     for _name, spec in TEMPLATES:
         parts = [shift_within_sequences(cols[c], seq_ids, d) for d, c in spec]
         if len(parts) == 1:
             values.append(parts[0])
         else:
             s = pd.Series(parts[0], dtype="object")
-            joined = s.str.cat([pd.Series(p, dtype="object") for p in parts[1:]], sep="/")
+            joined = s.str.cat([pd.Series(p, dtype="object") for p in parts[1:]], sep=SEP)
             values.append(joined.to_numpy())
     return values
+
+
+def shift_codes(codes: np.ndarray, seq_ids: np.ndarray, d: int) -> np.ndarray:
+    """Factorized-code variant of shift_within_sequences; -1 = boundary."""
+    n = len(codes)
+    if d == 0:
+        return codes
+    out = np.full(n, -1, dtype=np.int64)
+    if d > 0:
+        if n > d:
+            ok = seq_ids[d:] == seq_ids[:-d]
+            out[: n - d][ok] = codes[d:][ok]
+    else:
+        k = -d
+        if n > k:
+            ok = seq_ids[k:] == seq_ids[:-k]
+            out[k:][ok] = codes[: n - k][ok]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -104,16 +131,70 @@ class CrfModel:
     # -- scoring ------------------------------------------------------------
 
     def emissions(self, cols: list[np.ndarray], seq_ids: np.ndarray) -> np.ndarray:
-        """(n, L) emission scores for a batch of concatenated sequences."""
+        """(n, L) emission scores for a batch of concatenated sequences.
+
+        Fast path: each base column is factorized ONCE per batch; per
+        template the vocab lookup runs over the column's UNIQUE values
+        (a lookup table), then a single gather applies it to all n
+        positions — dict work is O(#unique) instead of O(n·#templates).
+        """
         n = len(seq_ids)
         scores = np.zeros((n, N_LABELS), dtype=np.float32)
-        values = template_values(cols, seq_ids)
-        for k, vals in enumerate(values):
+        used_cols = sorted({c for _nm, spec in TEMPLATES for _d, c in spec})
+        codes: dict[int, np.ndarray] = {}
+        uniques: dict[int, np.ndarray] = {}
+        for c in used_cols:
+            cd, un = pd.factorize(cols[c])
+            codes[c] = cd.astype(np.int64)
+            uniques[c] = np.asarray(un, dtype=object)
+        shifted: dict[tuple[int, int], np.ndarray] = {}
+
+        def get_shifted(d: int, c: int) -> np.ndarray:
+            key = (d, c)
+            if key not in shifted:
+                shifted[key] = shift_codes(codes[c], seq_ids, d)
+            return shifted[key]
+
+        for k, (_name, spec) in enumerate(TEMPLATES):
             vocab = self.vocabs[k]
             w = self.weights[k]
             oov = len(vocab)
-            ids = pd.Series(vals, dtype="object").map(vocab).fillna(oov).to_numpy(dtype=np.int64)
-            scores += w[ids]
+            if len(spec) == 1:
+                d, c = spec[0]
+                sc = get_shifted(d, c)
+                u = uniques[c]
+                lut = np.fromiter(
+                    (vocab.get(v, oov) for v in u), dtype=np.int64, count=len(u)
+                )
+                lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
+                scores += w[lut[sc]]
+            else:
+                # combine component codes into one integer key, dedupe, and
+                # build observation strings only for the unique combos
+                comb = None
+                bases = []
+                for d, c in spec:
+                    sc = get_shifted(d, c)
+                    b = len(uniques[c]) + 1
+                    bases.append(b)
+                    comb = (sc + 1) if comb is None else comb * b + (sc + 1)
+                ucomb, inv = np.unique(comb, return_inverse=True)
+                comps = []
+                rem = ucomb.copy()
+                for (d, c), b in zip(reversed(spec), reversed(bases)):
+                    comps.append((rem % b - 1, c))
+                    rem //= b
+                comps.reverse()
+                svals = None
+                for comp, c in comps:
+                    u = uniques[c]
+                    part = np.where(comp >= 0, u[np.clip(comp, 0, None)], BOUNDARY)
+                    part = part.astype(object)
+                    svals = part if svals is None else svals + SEP + part
+                lut = np.fromiter(
+                    (vocab.get(v, oov) for v in svals), dtype=np.int64, count=len(svals)
+                )
+                scores += w[lut[inv]]
         return scores
 
 

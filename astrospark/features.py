@@ -47,25 +47,32 @@ _INITCAP_RE = r"[A-Z].*"
 _ISPUNCT_RE = r"[\,\:;\?\.\!\(\)\[\]\"'`\*\-–−/<>=\+%\$\^‰°≈]+"
 
 
-def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: np.ndarray) -> list[np.ndarray]:
+def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: np.ndarray) -> list:
     """18 feature columns for a Series of (already normalized) token strings.
 
     ``astro_name``/``is_astro_token``: boolean arrays aligned with ``tokens``.
+    String-valued columns are returned as pyarrow-backed Series (their str
+    kernels run in native code, 2-5x the object path); categorical columns
+    as numpy object arrays. Consumers (pd.factorize in CrfModel.emissions)
+    accept both.
     """
-    s = tokens.astype("str")
+    if not isinstance(tokens.dtype, pd.ArrowDtype):
+        s = tokens.astype("string[pyarrow]")
+    else:
+        s = tokens
     cols: list = [None] * N_COLS
-    cols[0] = s.to_numpy()
-    cols[1] = s.str.lower().to_numpy()
+    cols[0] = s
+    cols[1] = s.str.lower()
     # prefixes / suffixes: TextUtilities.prefix/suffix semantics — whole
     # string when shorter than k (str.slice already behaves that way).
     for k in range(1, 6):
-        cols[1 + k] = s.str.slice(0, k).to_numpy()
-        cols[6 + k] = s.str.slice(-k).to_numpy()
+        cols[1 + k] = s.str.slice(0, k)
+        cols[6 + k] = s.str.slice(-k)
 
-    all_digit = s.str.fullmatch(_ALLDIGIT_RE).to_numpy()
-    contains_digit = s.str.contains(_CONTAINS_DIGIT_RE, regex=True).to_numpy()
-    all_caps = s.str.fullmatch(_ALLCAPS_RE).to_numpy()
-    init_cap = s.str.match(_INITCAP_RE).to_numpy()
+    all_digit = s.str.fullmatch(_ALLDIGIT_RE).to_numpy(dtype=bool)
+    contains_digit = s.str.contains(_CONTAINS_DIGIT_RE, regex=True).to_numpy(dtype=bool)
+    all_caps = s.str.fullmatch(_ALLCAPS_RE).to_numpy(dtype=bool)
+    init_cap = s.str.match(_INITCAP_RE).to_numpy(dtype=bool)
 
     # capitalisation with the ALLDIGIT->NOCAPS override (printVector:74-77)
     cols[12] = np.select(
@@ -76,20 +83,19 @@ def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: n
     cols[13] = np.select(
         [all_digit, contains_digit], ["ALLDIGIT", "CONTAINDIGIT"], default="NODIGIT"
     )
-    cols[14] = np.where(s.str.len().to_numpy() == 1, "1", "0")
+    cols[14] = np.where(s.str.len().to_numpy(dtype=np.int64) == 1, "1", "0")
 
     # punctType ladder (addFeaturesAstro:162-178): generic PUNCT first, then
     # exact-char classes override.
-    is_punct = s.str.fullmatch(_ISPUNCT_RE).to_numpy()
-    arr = s.to_numpy()
+    is_punct = s.str.fullmatch(_ISPUNCT_RE).to_numpy(dtype=bool)
     cols[15] = np.select(
         [
-            np.isin(arr, ("(", "[")),
-            np.isin(arr, (")", "]")),
-            arr == ".",
-            arr == ",",
-            arr == "-",
-            np.isin(arr, ('"', "'", "`")),
+            s.isin(("(", "[")).to_numpy(dtype=bool),
+            s.isin((")", "]")).to_numpy(dtype=bool),
+            s.isin((".",)).to_numpy(dtype=bool),
+            s.isin((",",)).to_numpy(dtype=bool),
+            s.isin(("-",)).to_numpy(dtype=bool),
+            s.isin(('"', "'", "`")).to_numpy(dtype=bool),
             is_punct,
         ],
         ["OPENBRACKET", "ENDBRACKET", "DOT", "COMMA", "HYPHEN", "QUOTE", "PUNCT"],

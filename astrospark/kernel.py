@@ -1,0 +1,230 @@
+"""Vectorized extraction kernel — the Arrow-batch hot path for Spark.
+
+Processes a whole pandas batch of interleaved documents at once:
+tokenization via one precompiled regex over a Series (C loop), feature
+columns via pandas str ops, emission scoring via per-template id maps +
+dense weight-table gathers, Viterbi batched across every sequence in the
+batch, and cluster/offset assembly from cumulative-sum char positions.
+Per-document Python is limited to chunk bookkeeping and a per-CLUSTER
+(not per-token) offset walk that replicates the reference's pos
+arithmetic (/root/reference/src/main/java/org/grobid/core/engines/AstroParser.java:677-748),
+including its quirks (leading-space double-advance, one-shot trailing
+trims) — fuzz-checked token-for-token against the scalar oracle
+(oracle.py) in tests/test_kernel_vs_oracle.py.
+
+Line-split equivalence note: the reference splits the TOKEN stream of
+table/figure chunks on "\\n" tokens (AstroParser.java:314-352); since
+"\\n" is a delimiter that always forms its own token, splitting the TEXT
+on "\\n" and tokenizing each line yields identical line token lists —
+that is what lets the kernel keep tokenization fully vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from astrospark.analyzer import TOKEN_RE
+from astrospark.crf import CrfModel, viterbi_batched
+from astrospark.features import compute_columns
+from astrospark.lexicon import match_positions
+from astrospark.oracle import LINE_KINDS, TEXT_KINDS, is_blank, java_trim
+from astrospark.templates import LABEL_BEGIN, LABEL_OTHER
+from astrospark.unicode_norm import NORMALIZE_TABLE
+
+# `end` (exclusive char end) is internal: the engine uses it to re-rank
+# split-document output exactly like the in-batch sort, then drops it.
+OUTPUT_COLUMNS = ("doc_id", "seq", "kind", "text", "media_ref", "offset", "end")
+
+_CTRL_EMPTY = None  # lazily compiled fullmatch for control-only strings
+
+
+def _control_only_mask(norm: pd.Series) -> np.ndarray:
+    """True where the normalized token java-trims to '' (skip it)."""
+    return norm.str.fullmatch("[\\x00-\\x20]*").to_numpy()
+
+
+def extract_batch(pdf: pd.DataFrame, vocab, trie, model: CrfModel) -> pd.DataFrame:
+    """doc_id + spans batch → ordered output span rows (see OUTPUT_COLUMNS)."""
+    passthrough: list[tuple[int, str, str, str, int, int]] = []
+    # processing units: (doc_idx, base_offset) per unit, texts list
+    unit_doc: list[int] = []
+    unit_base: list[int] = []
+    unit_texts: list[str] = []
+
+    docs = pdf["doc_id"].to_numpy()
+    for di, spans in enumerate(pdf["spans"].to_numpy()):
+        if spans is None:
+            continue
+        for span in spans:
+            kind = span["kind"]
+            text = span["text"] or ""
+            offset = int(span["offset"])
+            if kind in TEXT_KINDS:
+                if is_blank(text):
+                    continue
+                unit_doc.append(di)
+                unit_base.append(offset)
+                unit_texts.append(text.replace("\n", " ").replace("\t", " "))
+            elif kind in LINE_KINDS:
+                # split on '\n' — token-stream-equivalent (see module doc)
+                pos = 0
+                for line in text.split("\n"):
+                    if line:
+                        unit_doc.append(di)
+                        unit_base.append(offset + pos)
+                        unit_texts.append(line)
+                    pos += len(line) + 1
+            else:
+                passthrough.append(
+                    (di, kind, text, span["media_ref"] or "", offset, offset)
+                )
+
+    ent_rows: list[tuple[int, str, str, str, int, int]] = []
+    if unit_texts:
+        token_lists = pd.Series(unit_texts, dtype="object").str.findall(TOKEN_RE)
+        keep = [i for i, toks in enumerate(token_lists) if toks]
+        if keep:
+            token_lists = [token_lists.iloc[i] for i in keep]
+            unit_doc = [unit_doc[i] for i in keep]
+            unit_base = [unit_base[i] for i in keep]
+            unit_texts = [unit_texts[i] for i in keep]
+            ent_rows = _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, model)
+
+    all_rows = passthrough + ent_rows
+    if not all_rows:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="object"),
+                "seq": pd.Series([], dtype="int32"),
+                "kind": pd.Series([], dtype="object"),
+                "text": pd.Series([], dtype="object"),
+                "media_ref": pd.Series([], dtype="object"),
+                "offset": pd.Series([], dtype="int32"),
+                "end": pd.Series([], dtype="int32"),
+            }
+        )
+    out = pd.DataFrame(all_rows, columns=["di", "kind", "text", "media_ref", "offset", "end"])
+    # ordering invariant: (offset, offset_end) per AstroEntity.compareTo with
+    # deterministic tie-breaks; seq = dense rank within doc (oracle.py)
+    out.sort_values(["di", "offset", "end", "kind", "text", "media_ref"], inplace=True, kind="stable")
+    out["seq"] = out.groupby("di").cumcount().astype("int32")
+    out["doc_id"] = docs[out["di"].to_numpy()]
+    out["offset"] = out["offset"].astype("int32")
+    out["end"] = out["end"].astype("int32")
+    return out[list(OUTPUT_COLUMNS)].reset_index(drop=True)
+
+
+def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, model):
+    """Label all units' tokens in one vectorized pass, then assemble
+    entities with the per-cluster offset walk."""
+    n_units = len(unit_texts)
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_units)
+    flat_tokens = pd.Series(
+        [t for toks in token_lists for t in toks], dtype="object"
+    )
+    n = len(flat_tokens)
+    unit_ids = np.repeat(np.arange(n_units), counts)
+    unit_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    # char positions: tokens tile the text exactly
+    tok_len = flat_tokens.str.len().to_numpy(dtype=np.int64)
+    cum = np.cumsum(tok_len)
+    char_end = cum - np.repeat(cum[unit_starts] - tok_len[unit_starts], counts)
+    char_start = char_end - tok_len
+
+    # gazetteer interval flags (J2) — per unit trie scan
+    in_interval = np.zeros(n, dtype=bool)
+    for ui, toks in enumerate(token_lists):
+        base = unit_starts[ui]
+        for s, e in match_positions(toks, trie):
+            in_interval[base + s : base + e + 1] = True
+
+    # eligibility (AstroParser.addFeatures:632-642)
+    arr = flat_tokens.to_numpy()
+    not_ws = (arr != " ") & (arr != "\n")
+    norm = flat_tokens.str.translate(NORMALIZE_TABLE).astype("string[pyarrow]")
+    eligible = not_ws & ~_control_only_mask(norm)
+
+    elig_idx = np.flatnonzero(eligible)
+    labels = np.zeros(n, dtype=np.int64)
+    if len(elig_idx):
+        words = norm.iloc[elig_idx].reset_index(drop=True)
+        astro_name = pd.Series(arr[elig_idx]).isin(vocab).to_numpy()
+        cols = compute_columns(words, astro_name, in_interval[elig_idx])
+        seq_ids = unit_ids[elig_idx]
+        emit = model.emissions(cols, seq_ids)
+        labels[elig_idx] = viterbi_batched(emit, seq_ids, model.trans)
+
+    # cluster boundaries over eligible tokens (TaggingTokenClusteror
+    # semantics): begin-label or core change or unit start
+    rows: list[tuple[int, str, str, str, int, int]] = []
+    elig_unit = unit_ids[elig_idx] if len(elig_idx) else np.empty(0, dtype=np.int64)
+    elig_labels = labels[elig_idx] if len(elig_idx) else np.empty(0, dtype=np.int64)
+    cores = (elig_labels != LABEL_OTHER).astype(np.int8)
+    if len(elig_idx):
+        first_of_unit = np.concatenate(([True], elig_unit[1:] != elig_unit[:-1]))
+        begins = (
+            first_of_unit
+            | (elig_labels == LABEL_BEGIN)
+            | np.concatenate(([True], cores[1:] != cores[:-1]))
+        )
+        cluster_first = np.flatnonzero(begins)  # indices into elig arrays
+        # skip-all-units-without-objects fast path
+        has_obj_unit = set(elig_unit[cores.astype(bool)].tolist())
+    else:
+        cluster_first = np.empty(0, dtype=np.int64)
+        has_obj_unit = set()
+
+    # group clusters per unit
+    ci = 0
+    n_clusters = len(cluster_first)
+    for ui in range(len(unit_texts)):
+        # advance over clusters of this unit
+        first_list: list[int] = []
+        while ci < n_clusters and elig_unit[cluster_first[ci]] == ui:
+            first_list.append(cluster_first[ci])
+            ci += 1
+        if ui not in has_obj_unit or not first_list:
+            continue
+        text = unit_texts[ui]
+        base = unit_base[ui]
+        di = unit_doc[ui]
+        L = len(text)
+        ubase = unit_starts[ui]
+        ucount = counts[ui]
+
+        pos = 0
+        for k_i, first in enumerate(first_list):
+            # cluster token range [ts, te) in LOCAL token indices
+            ts_local = 0 if k_i == 0 else int(elig_idx[first] - ubase)
+            if k_i + 1 < len(first_list):
+                te_local = int(elig_idx[first_list[k_i + 1]] - ubase)
+            else:
+                te_local = int(ucount)
+            g_ts = ubase + ts_local
+            g_te = ubase + te_local
+
+            # verbatim pos walk (AstroParser.java:700-723), cluster-level
+            if pos < L - 1 and text[pos] == " ":
+                pos += 1
+            if pos < L - 1 and text[pos] == "\n":
+                pos += 1
+            # leading literal ' ' tokens (start-skip) — only possible for
+            # the first cluster of the unit
+            n_lead = 0
+            if k_i == 0:
+                while ts_local + n_lead < te_local and arr[g_ts + n_lead] == " ":
+                    n_lead += 1
+            tok_span = int(char_end[g_te - 1] - char_start[g_ts]) if g_te > g_ts else 0
+            pos += n_lead
+            end_pos = pos + (tok_span - n_lead)
+            if end_pos > 0 and L >= end_pos and text[end_pos - 1] == "\n":
+                end_pos -= 1
+            if end_pos > 0 and L >= end_pos and text[end_pos - 1] == " ":
+                end_pos -= 1
+            if cores[first]:
+                raw = java_trim(text[char_start[g_ts] : char_end[g_te - 1]])
+                rows.append((di, "object", raw, "", base + pos, base + end_pos))
+            pos = end_pos
+    return rows

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from astrospark.analyzer import tokenize
-from astrospark.crf import CrfModel, viterbi_single
+from astrospark.crf import SEP, CrfModel, viterbi_single
 from astrospark.lexicon import match_positions
 from astrospark.templates import BOUNDARY, LABEL_BEGIN, LABEL_OTHER, TEMPLATES
 from astrospark.unicode_norm import normalize_and_remove_spaces
@@ -178,7 +178,7 @@ def label_sequence(tokens: list[str], vocab: frozenset, trie: dict, model: CrfMo
             for d, c in spec:
                 q = t + d
                 parts.append(cols_per_tok[q][c] if 0 <= q < T else BOUNDARY)
-            val = "/".join(parts)
+            val = SEP.join(parts)
             row = model.vocabs[k].get(val, len(model.vocabs[k]))
             emit[t] += model.weights[k][row]
     labels = viterbi_single(emit, model.trans.astype(np.float64))
