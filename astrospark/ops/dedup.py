@@ -1,0 +1,177 @@
+"""Deduplication operators for the training-data pipeline.
+
+All variants are formulated with cross-engine-portable primitives (md5 as
+the only hash; pure arithmetic bit extraction) so the DuckDB oracle can
+replay them bit-for-bit. Scale notes per operator:
+
+- exact: hash-groupBy; one shuffle on the (pruned) md5 key.
+- ngram-jaccard: shingle explode → self-join. The classic blow-up (a
+  shingle shared by k docs contributes k² join rows) is bounded by the
+  rare-shingle filter (document frequency <= MAX_DF) — at web scale the
+  high-DF shingles are boilerplate with no discriminative value anyway.
+- minhash-LSH: per-doc k=16 signature (min of md5 over shingles per
+  seed), banded 4x4; candidate pairs = equi-join on band keys — the
+  shuffle is on band buckets, never all-pairs.
+- simhash: 16-bit portable simhash over word hashes; hamming-0 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_DF = 20  # rare-shingle cutoff for the jaccard self-join
+MINHASH_SEEDS = 16
+BAND_SIZE = 4
+JACCARD_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact duplicates: group by content hash, keep min doc_id canonical."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count("*").cast("int").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc. NB: Spark's sequence(0, k)
+    generates DESCENDING ranges when k<0, so short docs need the explicit
+    empty-array guard, not a greatest() clamp."""
+    sh = F.expr(
+        f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(split(text, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) END"
+    )
+    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard over rare shingles."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("shingle")
+    )
+    # persisted: consumed by sizes AND the self-join (at scale this is the
+    # materialized rare-shingle posting table)
+    sh = sh.join(rare, "shingle", "inner").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """doc_id + minhash_0..k-1 (min md5 of seed-tagged shingles)."""
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))).alias(f"mh_{s}")
+        for s in range(seeds)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard.
+
+    Bands of BAND_SIZE minhashes; a pair is a candidate iff it collides in
+    >=1 band; est_jaccard = matching minhash fraction over all seeds.
+
+    Shape for scale: signatures are computed ONCE and persisted (tiny:
+    16 strings/doc — at 10^12 docs you would materialize them as a table);
+    band keys go to LONG format (doc_id, band_id, key) so candidate
+    generation is ONE equi-join on (band_id, key), not one join per band.
+    """
+    d = _docs(spark, sf_dir)
+    sig = minhash_signature(d).persist()
+    n_bands = MINHASH_SEEDS // BAND_SIZE
+    band_exprs = ", ".join(
+        "'b{b}', md5(concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
+        )
+        for b in range(n_bands)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band_id, bk)")
+    )
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    pairs = (
+        l.join(r, ["band_id", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(MINHASH_SEEDS)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(MINHASH_SEEDS)])
+    est = None
+    for s in range(MINHASH_SEEDS):
+        t = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        est = t if est is None else est + t
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est / F.lit(MINHASH_SEEDS), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash16(spark, sf_dir) -> DataFrame:
+    """Portable 16-bit SimHash over word tokens.
+
+    Bit b of the fingerprint = sign of sum over words of (bit b of the
+    word's md5-derived 16-bit value, mapped to ±1). The 16-bit word value
+    is decoded from the first 4 hex chars of md5 via instr arithmetic —
+    identical in Spark SQL and DuckDB.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = F.md5("word")
+    hexmap = "0123456789abcdef"
+    nibbles = [
+        (F.instr(F.lit(hexmap), F.substring(h, i + 1, 1)) - 1).alias(f"nib_{i}")
+        for i in range(4)
+    ]
+    w = w.select("doc_id", *nibbles)
+    bit_sums = []
+    for i in range(4):
+        for b in range(4):
+            bit = (F.col(f"nib_{i}").bitwiseAND(F.lit(1 << b)) > 0).cast("int")
+            bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i*4+b}"))
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for k in range(16):
+        bit_val = F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = bit_val if fp is None else fp + bit_val
+    return agg.select("doc_id", fp.cast("int").alias("simhash"))

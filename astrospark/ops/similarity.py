@@ -1,0 +1,102 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k as the exact baseline (JVM-side arithmetic via
+``aggregate``/``zip_with`` higher-order functions — no Python UDF), plus an
+axis-sign LSH bucketing as the scale path: bucket key = sign pattern of the
+first SIGN_DIMS components (deterministic, portable to the SQL oracle);
+at 10^12 scale the bucket key becomes the shuffle/partition key so
+candidate generation never goes all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 10
+SIGN_DIMS = 4
+NEARDUP_COS = 0.35
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Exact top-k by cosine against the query vector (vec_id=0)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    sims = joined.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), F.col("q_emb").cast("array<double>")), 4).alias("cos_sim"),
+    )
+    return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+def sign_bucket(col):
+    """LSH bucket: concatenated sign bits of the first SIGN_DIMS dims."""
+    bits = [
+        F.when(F.element_at(col, i + 1) >= 0, "1").otherwise("0")
+        for i in range(SIGN_DIMS)
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_buckets(spark, sf_dir) -> DataFrame:
+    """Bucket census for the sign-LSH index (the scale-path partitioner)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(sign_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("int").alias("n_vecs"))
+    )
+
+
+def ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    """Approximate top-k: search only the query's sign bucket."""
+    e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cands = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    sims = cands.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), F.col("q_emb").cast("array<double>")), 4).alias("cos_sim"),
+    )
+    return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+def emb_neardup_pairs(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucket-prefiltered.
+
+    Same-bucket pairs only (the LSH contract); exact cosine filter after.
+    The join key is the bucket — at scale this is a hash join on a
+    low-cardinality key with per-bucket locality, never a cross join.
+    """
+    e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sims = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a").cast("array<double>"), F.col("emb_b").cast("array<double>")), 4).alias("cos_sim"),
+    )
+    return sims.filter(F.col("cos_sim") >= NEARDUP_COS)

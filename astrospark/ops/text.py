@@ -1,0 +1,189 @@
+"""Text-analysis operators over the flat documents table (SURVEY.md §2 P/T/A
+families + the training-data-pipeline text ops).
+
+Every function here is deliberately expressible in portable ANSI SQL so the
+driver's DuckDB oracle can replay it; the Spark side uses the DataFrame API
+(Catalyst plans: scan → project/filter/agg, predicate pushdown + column
+pruning reach the parquet scan). Engine-specific hash functions are avoided
+— md5 is the only hash used cross-engine (bit parity in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tokens for the J1-style broadcast dictionary semi-join demo — a mix of
+# gazetteer tokens (astro) and the synthetic document vocabulary so the
+# join is non-degenerate on the driver's tables
+DICT_TOKENS = (
+    "GRB", "NGC", "Magellanic", "Clouds", "spark", "table", "join", "window",
+    "filter", "vector", "stream", "batch", "merge", "column",
+)
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def p1_whitespace_normalize(spark, sf_dir) -> DataFrame:
+    """P1 (AstroParser.java:101-102): \\n/\\t → space, projected per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.translate("text", "\n\t", "  ").alias("norm_text"),
+    )
+
+
+def p2_blank_filter(spark, sf_dir) -> DataFrame:
+    """P2 (AstroParser.java:96-98): drop blank docs before extraction."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "n_chars")
+    )
+
+
+def t1_ws_token_stats(spark, sf_dir) -> DataFrame:
+    """T1 scan stats: whitespace token counts (portable formulation)."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + F.lit(1)
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_ws_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def t2_regex_token_count(spark, sf_dir) -> DataFrame:
+    """T1/T2 approximation with a portable regex (letter runs | digit runs |
+    single other non-space) — the BPE-ish token counter."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+        .alias("n_tokens"),
+    )
+
+
+def s3_sentence_chunks(spark, sf_dir) -> DataFrame:
+    """S3-style chunking: sentence-ish split with per-chunk index (the
+    explode(spans) shape on a flat table)."""
+    d = _docs(spark, sf_dir)
+    parts = F.split(F.col("text"), "\\. ")
+    e = d.select("doc_id", F.posexplode(parts).alias("chunk_idx", "chunk_text"))
+    return e.filter(F.length("chunk_text") > 0)
+
+
+def j1_dict_semijoin(spark, sf_dir) -> DataFrame:
+    """J1 (AstroLexicon.inAstroDictionary): per-doc count of tokens found in
+    a broadcast dictionary. Realized as explode → broadcast hash join."""
+    d = _docs(spark, sf_dir)
+    dict_df = spark.createDataFrame([(t,) for t in DICT_TOKENS], "tok string")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    joined = toks.join(F.broadcast(dict_df), "tok", "inner")
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_dict_tokens"))
+    )
+
+
+def o1_top_docs(spark, sf_dir) -> DataFrame:
+    """O1-style deterministic order + limit."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def o3_corpus_split(spark, sf_dir) -> DataFrame:
+    """O3 (AstroTrainer.java:140-150): deterministic train/eval split —
+    portable md5-based bucketing instead of Math.random()."""
+    d = _docs(spark, sf_dir)
+    bucket = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8", "train"
+    ).otherwise("eval")
+    return d.select("doc_id", bucket.alias("split"))
+
+
+def a4_source_stats(spark, sf_dir) -> DataFrame:
+    """A4-style aggregation: per (source, lang) doc counts + size stats."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Document quality heuristics: length, punctuation ratio, mean word
+    length, stopword hits — the standard pretraining-corpus filters."""
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_words = F.size(F.split(text, " "))
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    n_the = (
+        F.length(text) - F.length(F.replace(text, F.lit(" the "), F.lit("")))
+    ) / F.lit(5)
+    mean_word_len = (n_chars - n_words + 1) / n_words
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(n_the / n_words, 4).alias("the_ratio"),
+    )
+
+
+def lang_id_stopwords(spark, sf_dir) -> DataFrame:
+    """N-gram/stopword language-ID heuristic with a portable argmax."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def count_of(w):
+        pat = F.lit(" " + w + " ")
+        return (F.length(padded) - F.length(F.replace(padded, pat, F.lit("")))) / F.lit(len(w) + 2)
+
+    scores = {
+        lang: sum_exprs([count_of(w) for w in words])
+        for lang, words in STOPWORDS.items()
+    }
+    best = None
+    # deterministic argmax: iterate fixed lang order, strict > keeps first
+    langs = list(STOPWORDS.keys())
+    best_score = scores[langs[0]]
+    best = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return d.select("doc_id", best.alias("pred_lang"))
+
+
+def sum_exprs(exprs):
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = acc + e
+    return acc
+
+
+def fingerprint_md5(spark, sf_dir) -> DataFrame:
+    """Document fingerprint: md5 over the punctuation-stripped lowercase
+    text (portable; the rolling-hash variant lives in dedup.simhash)."""
+    d = _docs(spark, sf_dir)
+    normed = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    return d.select("doc_id", F.md5(normed).alias("fingerprint"))
