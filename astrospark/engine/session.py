@@ -18,7 +18,7 @@ def build_session(
     app_name: str = "astrospark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 512,
+    arrow_batch_rows: int = 2048,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -11,6 +11,8 @@ story at scale). Pure-Python rows (for tests) or a Spark DataFrame.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from astrospark.corpus import make_paragraph
@@ -83,3 +85,48 @@ def docs_dataframe(spark, n_docs: int, seed: int = 7, skew_every: int = 200,
     if n_partitions:
         df = df.repartition(n_partitions)
     return df
+
+
+def write_docs_parquet(path: str, n_docs: int, seed: int = 7, skew_every: int = 200,
+                       rows_per_file: int = 4096) -> str:
+    """Write fixture docs straight to parquet with pyarrow — bypasses the
+    driver's row-at-a-time py4j serialization, which dominates wall time
+    for corpora beyond a few thousand docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    schema = pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+    os.makedirs(path, exist_ok=True)
+    docs = make_docs(n_docs, seed=seed, skew_every=skew_every)
+    for fi in range(0, len(docs), rows_per_file):
+        chunk = docs[fi : fi + rows_per_file]
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [d["doc_id"] for d in chunk],
+                "spans": [
+                    [
+                        {
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": s["offset"],
+                        }
+                        for s in d["spans"]
+                    ]
+                    for d in chunk
+                ],
+            },
+            schema=schema,
+        )
+        pq.write_table(table, os.path.join(path, f"part-{fi // rows_per_file:05d}.parquet"))
+    return path

@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media content is carried as opaque ``binary`` columns with typed metadata —
+the pattern for interleaved text+media corpora at scale: the docs table
+holds only ``media_ref`` anchors (kept in span order by the extraction
+engine); heavy bytes live in a separate media table joined by ref when a
+stage actually needs them.
+
+The decode step is STUBBED by design: the real decoders (PIL / libav /
+librosa) are not in this environment, so ``decode_media`` dispatches to
+them behind an import-try and otherwise raises NotImplementedError —
+unless the payload is a synthetic fixture (header ``ASTF``) in which case
+a deterministic fake decode parses the header. Everything Spark-side —
+schema, Arrow batch shape, ``mapInPandas`` signature, partitioning — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA_DDL = (
+    "media_ref string, media_type string, content binary, "
+    "meta struct<width:int,height:int,duration_ms:int,codec:string>"
+)
+
+DECODED_SCHEMA_DDL = (
+    "media_ref string, media_type string, width int, height int, "
+    "n_frames int, mean_luma double"
+)
+
+FEATURE_DIM = 16
+_MAGIC = b"ASTF"
+
+
+# ---------------------------------------------------------------------------
+# fixture payloads (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def make_fixture_payload(media_type: str, width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Synthetic media blob: magic + packed header + seeded body bytes."""
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+    head = _MAGIC + struct.pack("<3i", width, height, n_frames)
+    return head + body
+
+
+def media_table(spark: SparkSession, n: int = 50, seed: int = 13) -> DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        mt = ("image", "audio", "video")[int(rng.integers(0, 3))]
+        w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+        frames = 1 if mt == "image" else int(rng.integers(10, 300))
+        rows.append(
+            (
+                f"{mt[:3]}://obj/{i:09d}",
+                mt,
+                make_fixture_payload(mt, w, h, frames, seed * 1000 + i),
+                (w, h, frames * 33, "fix"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# decode / featurize kernels (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def _decode_one(media_type: str, content: bytes):
+    if content[:4] == _MAGIC:
+        w, h, frames = struct.unpack("<3i", content[4:16])
+        # deterministic fake luma from the body bytes
+        body = np.frombuffer(content[16:], dtype=np.uint8)
+        return w, h, frames, float(body.mean()) / 255.0
+    # real path — decoders not available in this container
+    try:  # pragma: no cover - exercised only where PIL exists
+        if media_type == "image":
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            img = Image.open(io.BytesIO(content))
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+            return img.width, img.height, 1, float(arr.mean()) / 255.0
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"no decoder available for media_type={media_type!r} payload"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """binary content → typed decode record (mapInPandas, Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples():
+                w, h, nf, luma = _decode_one(r.media_type, bytes(r.content))
+                recs.append((r.media_ref, r.media_type, w, h, nf, luma))
+            yield pd.DataFrame(
+                recs,
+                columns=["media_ref", "media_type", "width", "height", "n_frames", "mean_luma"],
+            )
+
+    return media.mapInPandas(fn, schema=DECODED_SCHEMA_DDL)
+
+
+def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """content bytes → deterministic feature vector (stand-in for a real
+    embedding model; batch path shape identical to the real thing)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_refs, out_vecs = [], []
+            for r in pdf.itertuples():
+                digest = hashlib.sha256(bytes(r.content)).digest()
+                raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+                vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max * 2 - 1).astype(np.float32)
+                out_refs.append(r.media_ref)
+                out_vecs.append(vec.tolist())
+            yield pd.DataFrame({"media_ref": out_refs, "feature": out_vecs})
+
+    return media.mapInPandas(fn, schema="media_ref string, feature array<float>")
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Pure-plan resize: computes target dims JVM-side (no UDF) — the
+    actual pixel work would happen in the decode kernel at the new dims."""
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return media.select(
+        "media_ref",
+        "media_type",
+        F.round(w * scale).cast("int").alias("target_w"),
+        F.round(h * scale).cast("int").alias("target_h"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video/audio: one row per sampled timestamp
+    (sequence + explode, JVM-side)."""
+    dur = F.col("meta.duration_ms")
+    ts = F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+    return (
+        media.filter(F.col("media_type") != "image")
+        .select("media_ref", F.explode(ts).alias("sample_ms"))
+    )
+
+
+def docs_media_join(spans: DataFrame, media_feats: DataFrame) -> DataFrame:
+    """Attach media features to extraction output rows that anchor media —
+    broadcast join when the media side is dimension-sized."""
+    m = media_feats.withColumnRenamed("media_ref", "mref")
+    return spans.filter(F.col("media_ref") != "").join(
+        F.broadcast(m), spans["media_ref"] == m["mref"], "left"
+    ).drop("mref")

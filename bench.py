@@ -46,12 +46,9 @@ def sf_of(sf_dir: str) -> float:
 def ensure_bench_docs(spark, n_docs: int) -> str:
     path = os.path.join(BENCH_CACHE, f"docs_{n_docs}.parquet")
     if not os.path.exists(path):
-        from astrospark.fixtures import docs_dataframe
+        from astrospark.fixtures import write_docs_parquet
 
-        os.makedirs(BENCH_CACHE, exist_ok=True)
-        docs_dataframe(spark, n_docs, seed=7, skew_every=500, n_partitions=64).write.mode(
-            "overwrite"
-        ).parquet(path)
+        write_docs_parquet(path, n_docs, seed=7, skew_every=500, rows_per_file=1024)
     return path
 
 
