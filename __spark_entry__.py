@@ -178,7 +178,8 @@ def _minhash_sql() -> str:
 
     n_bands = MINHASH_SEEDS // BAND_SIZE
     mh = ", ".join(
-        f"min(md5('{s}#' || shingle)) AS mh_{s}" for s in range(MINHASH_SEEDS)
+        f"min(substr(md5('{s // 4}#' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh_{s}"
+        for s in range(MINHASH_SEEDS)
     )
     band_cols = ", ".join(
         "md5("

