@@ -33,30 +33,22 @@ def _bcast(spark):
 
 
 def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from astrospark.engine.extraction import extract_spans
-    from astrospark.io.sources import documents_to_docs, read_docs
-
-    docs = documents_to_docs(read_docs(spark, f"{sf_dir}/documents.parquet"))
-    return extract_spans(docs, _bcast(spark))
-
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship extraction on /root/testdata/sf0.001.
-
-    The driver's documents.parquet carries synthetic filler text with no
-    astronomical mentions (its extraction output is legitimately empty), so
-    the flagship unions it with the deterministic interleaved fixture docs
-    — same pipeline, one plan — to demonstrate non-empty extraction too.
-    """
+    """Flagship: extraction over the sf documents table UNIONed with the
+    deterministic fixture docs — the driver's documents.parquet is filler
+    text with no astronomical mentions, so without the fixtures the
+    recorded row count would be a vacuous 0."""
     from astrospark.engine.extraction import extract_spans
     from astrospark.fixtures import docs_dataframe
     from astrospark.io.sources import documents_to_docs, read_docs
 
-    flat = documents_to_docs(
-        read_docs(spark, "/root/testdata/sf0.001/documents.parquet")
-    )
+    flat = documents_to_docs(read_docs(spark, f"{sf_dir}/documents.parquet"))
     fixtures = docs_dataframe(spark, 60, seed=42, skew_every=0, n_partitions=4)
     return extract_spans(flat.unionByName(fixtures), _bcast(spark))
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship extraction on /root/testdata/sf0.001 (+ fixture docs)."""
+    return _extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +71,7 @@ def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from astrospark.ops import dedup, similarity, text
+    from astrospark.ops import dedup, events, similarity, text
 
     return {
         # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — non-SQL ops,
@@ -106,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "simhash16": dedup.simhash16,
+        # event-stream relational ops (windows / sessions / json)
+        "w1_event_windows": events.w1_event_windows,
+        "w2_user_sessions": events.w2_user_sessions,
+        "f_json_extract": events.f_json_extract,
         # training-data pipeline: similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -306,6 +302,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "simhash16": _simhash_sql(),
+        "w1_event_windows": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type, "
+            "CAST(count(*) AS INT) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "w2_user_sessions": (
+            "WITH g AS (SELECT user_id, epoch(ts) - epoch(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
+            "SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS INT) "
+            "AS n_sessions, CAST(count(*) AS INT) AS n_events FROM g GROUP BY user_id"
+        ),
+        "f_json_extract": (
+            "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
+            "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k "
+            "FROM events GROUP BY event_type"
+        ),
         "ann_cosine_topk": _cosine_sql(bucketed=False),
         "ann_lsh_buckets": (
             "SELECT " + bucket + " AS bucket, CAST(count(*) AS INT) AS n_vecs "

@@ -167,7 +167,9 @@ class CrfModel:
                     (vocab.get(v, oov) for v in u), dtype=np.int64, count=len(u)
                 )
                 lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
-                scores += w[lut[sc]]
+                # gather weights into a per-batch small table first: the
+                # big-n gather then hits a cache-resident (u+1, L) array
+                scores += w[lut][sc]
             else:
                 # combine component codes into one integer key, dedupe, and
                 # build observation strings only for the unique combos
@@ -194,7 +196,7 @@ class CrfModel:
                 lut = np.fromiter(
                     (vocab.get(v, oov) for v in svals), dtype=np.int64, count=len(svals)
                 )
-                scores += w[lut[inv]]
+                scores += w[lut][inv]
         return scores
 
 
