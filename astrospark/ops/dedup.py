@@ -43,41 +43,68 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
     )
 
 
-def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc. NB: Spark's sequence(0, k)
-    generates DESCENDING ranges when k<0, so short docs need the explicit
-    empty-array guard, not a greatest() clamp."""
+def _shingles(d: DataFrame, n: int = 3, dedup: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc (distinct per doc when ``dedup``).
+
+    NB: Spark's sequence(0, k) generates DESCENDING ranges when k<0, so
+    short docs need the explicit empty-array guard, not a greatest() clamp.
+    ``dedup=False`` skips the (doc_id, shingle) distinct — a full shuffle
+    of every shingle row — for consumers whose downstream aggregate is
+    duplicate-invariant (min for minhash, collect_set for posting lists).
+    """
     sh = F.expr(
         f"CASE WHEN size(ws) < {n} THEN array() "
         f"ELSE transform(sequence(0, size(ws) - {n}), "
         f"i -> concat_ws(' ', slice(ws, i + 1, {n}))) END"
     )
-    return (
-        d.withColumn("ws", F.split("text", " "))
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    out = d.withColumn("ws", F.split("text", " ")).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
+    return out.distinct() if dedup else out
+
+
+# pair expansion of a sorted posting list: (docs[i], docs[j]) for i < j —
+# order + uniqueness come from array_sort(collect_set(...)) upstream
+_PAIRS_EXPR = (
+    "flatten(transform(docs, (a, i) -> "
+    "transform(slice(docs, i + 2, size(docs)), "
+    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+)
 
 
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard over rare shingles."""
+    """Near-dup pairs by word-3-gram Jaccard over rare shingles.
+
+    Posting-list formulation: ONE aggregation builds the per-shingle
+    sorted doc list (collect_set dedups within the group, so the exploded
+    shingles need no pre-distinct shuffle); the df <= MAX_DF filter bounds
+    every list, and candidate pairs are expanded JVM-side from the bounded
+    lists (<= MAX_DF²/2 per shingle) instead of a shingle self-join. vs
+    the naive shape this drops the (doc,shingle) distinct shuffle, the
+    df-filter join-back shuffle, and the self-join — what remains is one
+    shuffle to build postings and one to aggregate pair counts. At 10^12
+    docs the high-DF boilerplate shingles (the only unbounded collect_set
+    inputs) are exactly the ones the filter discards; if driver-side
+    memory for a pathological key is a concern, a pre-count pass (cheap
+    map-side partial count) prunes them before collection.
+    """
     d = _docs(spark, sf_dir)
-    sh = _shingles(d)
-    rare = (
+    sh = _shingles(d, dedup=False)
+    posting = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DF)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_DF)
+        .persist()
     )
-    # persisted: consumed by sizes AND the self-join (at scale this is the
-    # materialized rare-shingle posting table)
-    sh = sh.join(rare, "shingle", "inner").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -101,8 +128,13 @@ def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     md5('{i}#' || shingle) — one md5 yields four independent 32-bit
     hashes, so k=16 costs 4 md5 calls per shingle instead of 16. min()
     over VARCHAR is lexicographic in both Spark and DuckDB (parity).
+
+    No shingle distinct: min() is duplicate-invariant, so the exploded
+    shingles flow straight into the groupBy — map-side partial min means
+    only k minhash strings per doc ever hit the shuffle, vs a full
+    (doc, shingle) shuffle for distinct-then-aggregate.
     """
-    sh = _shingles(d)
+    sh = _shingles(d, dedup=False)
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.lit(f"{s // 4}#"), F.col("shingle"))), (s % 4) * 8 + 1, 8)
@@ -135,12 +167,18 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     bands = sig.select(
         "doc_id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band_id, bk)")
     )
-    l = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
-    r = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    # posting-list candidate generation: one aggregation per (band, key)
+    # bucket, pairs expanded from the sorted member list — the shuffle
+    # carries each doc_id once per band, not once per candidate pair as a
+    # self-join would. (A bucket holding k near-identical docs yields k²/2
+    # pairs either way — that blow-up is inherent to LSH; at extreme scale
+    # cap/sample oversized buckets, they are exact-dup clusters anyway.)
     pairs = (
-        l.join(r, ["band_id", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band_id", "bk")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(MINHASH_SEEDS)])

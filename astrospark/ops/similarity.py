@@ -89,14 +89,28 @@ def emb_neardup_pairs(spark, sf_dir) -> DataFrame:
     Same-bucket pairs only (the LSH contract); exact cosine filter after.
     The join key is the bucket — at scale this is a hash join on a
     low-cardinality key with per-bucket locality, never a cross join.
+
+    Norms are precomputed ONCE per vector before the pair join (the naive
+    per-pair cosine re-aggregates both norms for every joined row — an
+    O(pairs·dim) waste that dominates at bucket sizes in the thousands);
+    the per-pair work is a single dot product. FP op order is unchanged
+    (same aggregate expression per vector), so results are bit-identical
+    to the per-pair formulation and to the DuckDB oracle.
     """
-    e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        .withColumn("nrm", _norm(F.col("emb_d")))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("emb_a"), F.col("nrm").alias("nrm_a"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("emb_b"), F.col("nrm").alias("nrm_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     sims = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(cosine(F.col("emb_a").cast("array<double>"), F.col("emb_b").cast("array<double>")), 4).alias("cos_sim"),
+        F.round(
+            _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4
+        ).alias("cos_sim"),
     )
     return sims.filter(F.col("cos_sim") >= NEARDUP_COS)
