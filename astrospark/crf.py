@@ -101,12 +101,27 @@ def shift_codes(codes: np.ndarray, seq_ids: np.ndarray, d: int) -> np.ndarray:
 
 
 class CrfModel:
-    __slots__ = ("vocabs", "weights", "trans")
+    __slots__ = ("vocabs", "weights", "trans", "_indexes")
 
     def __init__(self, vocabs: list[dict], weights: list[np.ndarray], trans: np.ndarray):
         self.vocabs = vocabs
         self.weights = weights
         self.trans = trans
+        self._indexes: list[pd.Index] | None = None
+
+    def _vocab_index(self, k: int) -> pd.Index:
+        """Hash index over template k's observation vocabulary; position ==
+        weight row id (vocab dicts are insertion-ordered by id). Built once
+        per model — get_indexer then probes in C instead of dict.get per
+        value."""
+        if self._indexes is None:
+            self._indexes = [
+                pd.Index(np.fromiter(v.keys(), dtype=object, count=len(v)))
+                if v
+                else pd.Index(np.empty(0, dtype=object))
+                for v in self.vocabs
+            ]
+        return self._indexes[k]
 
     def save(self, path: str) -> None:
         arrays: dict[str, np.ndarray] = {"trans": self.trans}
@@ -130,13 +145,19 @@ class CrfModel:
 
     # -- scoring ------------------------------------------------------------
 
-    def emissions(self, cols: list[np.ndarray], seq_ids: np.ndarray) -> np.ndarray:
+    def emissions(self, cols: list, seq_ids: np.ndarray) -> np.ndarray:
         """(n, L) emission scores for a batch of concatenated sequences.
 
         Fast path: each base column is factorized ONCE per batch; per
         template the vocab lookup runs over the column's UNIQUE values
         (a lookup table), then a single gather applies it to all n
         positions — dict work is O(#unique) instead of O(n·#templates).
+
+        A ``cols`` entry may also be a tuple ``(per_unique_vals,
+        full_codes)`` — the kernel's unique-token path: the column's value
+        at position t is ``per_unique_vals[full_codes[t]]``. Factorization
+        then runs over the per-unique values (thousands) and reaches full
+        length with one int gather, never materializing n strings.
         """
         n = len(seq_ids)
         scores = np.zeros((n, N_LABELS), dtype=np.float32)
@@ -144,8 +165,13 @@ class CrfModel:
         codes: dict[int, np.ndarray] = {}
         uniques: dict[int, np.ndarray] = {}
         for c in used_cols:
-            cd, un = pd.factorize(cols[c])
-            codes[c] = cd.astype(np.int64)
+            if isinstance(cols[c], tuple):
+                uvals, full_codes = cols[c]
+                cd, un = pd.factorize(pd.Series(uvals))
+                codes[c] = cd.astype(np.int64)[full_codes]
+            else:
+                cd, un = pd.factorize(cols[c])
+                codes[c] = cd.astype(np.int64)
             uniques[c] = np.asarray(un, dtype=object)
         shifted: dict[tuple[int, int], np.ndarray] = {}
 
@@ -163,9 +189,8 @@ class CrfModel:
                 d, c = spec[0]
                 sc = get_shifted(d, c)
                 u = uniques[c]
-                lut = np.fromiter(
-                    (vocab.get(v, oov) for v in u), dtype=np.int64, count=len(u)
-                )
+                lut = self._vocab_index(k).get_indexer(u)
+                lut[lut < 0] = oov
                 lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
                 # gather weights into a per-batch small table first: the
                 # big-n gather then hits a cache-resident (u+1, L) array
@@ -180,7 +205,10 @@ class CrfModel:
                     b = len(uniques[c]) + 1
                     bases.append(b)
                     comb = (sc + 1) if comb is None else comb * b + (sc + 1)
-                ucomb, inv = np.unique(comb, return_inverse=True)
+                # hash-based factorize beats sort-based np.unique here and
+                # uniqueness order is irrelevant (gather by inv either way)
+                inv, ucomb = pd.factorize(comb)
+                ucomb = np.asarray(ucomb, dtype=comb.dtype)
                 comps = []
                 rem = ucomb.copy()
                 for (d, c), b in zip(reversed(spec), reversed(bases)):
@@ -193,9 +221,8 @@ class CrfModel:
                     part = np.where(comp >= 0, u[np.clip(comp, 0, None)], BOUNDARY)
                     part = part.astype(object)
                     svals = part if svals is None else svals + SEP + part
-                lut = np.fromiter(
-                    (vocab.get(v, oov) for v in svals), dtype=np.int64, count=len(svals)
-                )
+                lut = self._vocab_index(k).get_indexer(svals)
+                lut[lut < 0] = oov
                 scores += w[lut][inv]
         return scores
 

@@ -47,7 +47,9 @@ _INITCAP_RE = r"[A-Z].*"
 _ISPUNCT_RE = r"[\,\:;\?\.\!\(\)\[\]\"'`\*\-–−/<>=\+%\$\^‰°≈]+"
 
 
-def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: np.ndarray) -> list:
+def compute_columns(
+    tokens: pd.Series, astro_name: np.ndarray, is_astro_token: np.ndarray | None
+) -> list:
     """18 feature columns for a Series of (already normalized) token strings.
 
     ``astro_name``/``is_astro_token``: boolean arrays aligned with ``tokens``.
@@ -55,6 +57,11 @@ def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: n
     kernels run in native code, 2-5x the object path); categorical columns
     as numpy object arrays. Consumers (pd.factorize in CrfModel.emissions)
     accept both.
+
+    ``is_astro_token=None`` leaves cols[17] as None — used by the kernel's
+    unique-token fast path, where cols 0-16 are functions of the token
+    string (computed once per distinct token) while col 17 is positional
+    (interval membership) and is filled in full-length by the caller.
     """
     if not isinstance(tokens.dtype, pd.ArrowDtype):
         s = tokens.astype("string[pyarrow]")
@@ -102,5 +109,5 @@ def compute_columns(tokens: pd.Series, astro_name: np.ndarray, is_astro_token: n
         default="NOPUNCT",
     )
     cols[16] = np.where(astro_name, "1", "0")
-    cols[17] = np.where(is_astro_token, "1", "0")
+    cols[17] = None if is_astro_token is None else np.where(is_astro_token, "1", "0")
     return cols

@@ -82,10 +82,10 @@ def extract_batch(pdf: pd.DataFrame, vocab, trie, model: CrfModel) -> pd.DataFra
 
     ent_rows: list[tuple[int, str, str, str, int, int]] = []
     if unit_texts:
-        token_lists = pd.Series(unit_texts, dtype="object").str.findall(TOKEN_RE)
-        keep = [i for i, toks in enumerate(token_lists) if toks]
+        token_arr = pd.Series(unit_texts, dtype="object").str.findall(TOKEN_RE).to_numpy()
+        keep = [i for i, toks in enumerate(token_arr) if toks]
         if keep:
-            token_lists = [token_lists.iloc[i] for i in keep]
+            token_lists = [token_arr[i] for i in keep]
             unit_doc = [unit_doc[i] for i in keep]
             unit_base = [unit_base[i] for i in keep]
             unit_texts = [unit_texts[i] for i in keep]
@@ -127,8 +127,18 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
     unit_ids = np.repeat(np.arange(n_units), counts)
     unit_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
 
+    # unique-token fast path: every per-token quantity that is a function
+    # of the token STRING (length, eligibility, normalization, feature
+    # cols 0-16, dictionary flag) is computed once per DISTINCT token and
+    # reached by integer gather — natural text repeats tokens ~30-100x per
+    # batch, so the string work drops by that factor
+    tok_codes, tok_uniq = pd.factorize(flat_tokens)
+    tok_codes = tok_codes.astype(np.int64)
+    uniq_ser = pd.Series(tok_uniq, dtype="object")
+    uniq_arr = np.asarray(tok_uniq, dtype=object)
+
     # char positions: tokens tile the text exactly
-    tok_len = flat_tokens.str.len().to_numpy(dtype=np.int64)
+    tok_len = uniq_ser.str.len().to_numpy(dtype=np.int64)[tok_codes]
     cum = np.cumsum(tok_len)
     char_end = cum - np.repeat(cum[unit_starts] - tok_len[unit_starts], counts)
     char_start = char_end - tok_len
@@ -140,18 +150,22 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
         for s, e in match_positions(toks, trie):
             in_interval[base + s : base + e + 1] = True
 
-    # eligibility (AstroParser.addFeatures:632-642)
+    # eligibility (AstroParser.addFeatures:632-642) — per unique token
     arr = flat_tokens.to_numpy()
-    not_ws = (arr != " ") & (arr != "\n")
-    norm = flat_tokens.str.translate(NORMALIZE_TABLE).astype("string[pyarrow]")
-    eligible = not_ws & ~_control_only_mask(norm)
+    uniq_norm = uniq_ser.str.translate(NORMALIZE_TABLE).astype("string[pyarrow]")
+    u_eligible = (
+        (uniq_arr != " ") & (uniq_arr != "\n") & ~_control_only_mask(uniq_norm)
+    )
+    eligible = u_eligible[tok_codes]
 
     elig_idx = np.flatnonzero(eligible)
     labels = np.zeros(n, dtype=np.int64)
     if len(elig_idx):
-        words = norm.iloc[elig_idx].reset_index(drop=True)
-        astro_name = pd.Series(arr[elig_idx]).isin(vocab).to_numpy()
-        cols = compute_columns(words, astro_name, in_interval[elig_idx])
+        el_codes = tok_codes[elig_idx]
+        u_astro = uniq_ser.isin(vocab).to_numpy(dtype=bool)
+        ucols = compute_columns(uniq_norm, u_astro, None)
+        cols: list = [(ucols[c], el_codes) for c in range(17)]
+        cols.append(np.where(in_interval[elig_idx], "1", "0"))
         seq_ids = unit_ids[elig_idx]
         emit = model.emissions(cols, seq_ids)
         labels[elig_idx] = viterbi_batched(emit, seq_ids, model.trans)
