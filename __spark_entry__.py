@@ -71,7 +71,7 @@ def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from astrospark.ops import dedup, events, similarity, text
+    from astrospark.ops import dedup, events, multimodal, similarity, text
 
     return {
         # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — non-SQL ops,
@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_event_windows": events.w1_event_windows,
         "w2_user_sessions": events.w2_user_sessions,
         "f_json_extract": events.f_json_extract,
+        # multimodal plumbing (decode stub rows-only; plans SQL-checked)
+        "m_resize_plan": multimodal.m_resize_plan,
+        "m_frame_sample": multimodal.m_frame_sample,
+        "m_decode_stub": multimodal.m_decode_stub,
         # training-data pipeline: similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -317,6 +321,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
             "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "m_resize_plan": (
+            "WITH m AS (SELECT 'med://' || doc_id AS media_ref, "
+            "CAST(n_chars % 3 AS INT) AS k, "
+            "n_chars % 497 + 16 AS w, n_chars % 311 + 16 AS h FROM documents) "
+            "SELECT media_ref, "
+            "CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(floor(w * least(224.0 / w, 224.0 / h, 1.0)) AS INT) AS target_w, "
+            "CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT) AS target_h "
+            "FROM m"
+        ),
+        "m_frame_sample": (
+            "WITH m AS (SELECT 'med://' || doc_id AS media_ref, "
+            "CAST(n_chars % 3 AS INT) AS k, "
+            "CAST(n_chars % 9000 + 500 AS INT) AS dur FROM documents) "
+            "SELECT media_ref, CAST(unnest(generate_series(0, dur - 1, 1000)) AS INT) "
+            "AS sample_ms FROM m WHERE k <> 0"
         ),
         "ann_cosine_topk": _cosine_sql(bucketed=False),
         "ann_lsh_buckets": (

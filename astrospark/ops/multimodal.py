@@ -137,15 +137,17 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
     """Pure-plan resize: computes target dims JVM-side (no UDF) — the
-    actual pixel work would happen in the decode kernel at the new dims."""
+    actual pixel work would happen in the decode kernel at the new dims.
+    floor (not round) so the arithmetic is identical across engines
+    (round-half ties differ between Spark and DuckDB)."""
     w = F.col("meta.width")
     h = F.col("meta.height")
     scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
     return media.select(
         "media_ref",
         "media_type",
-        F.round(w * scale).cast("int").alias("target_w"),
-        F.round(h * scale).cast("int").alias("target_h"),
+        F.floor(w * scale).cast("int").alias("target_w"),
+        F.floor(h * scale).cast("int").alias("target_h"),
     )
 
 
@@ -158,6 +160,56 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("media_type") != "image")
         .select("media_ref", F.explode(ts).alias("sample_ms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries over a documents-derived deterministic sidecar
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX_SIDE = 224
+FRAME_EVERY_MS = 1000
+
+
+def media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media-metadata sidecar derived from the documents
+    table (the fixture stand-in for the real media table at this SF —
+    BASELINE.md: no external data; the DuckDB oracle replays the same
+    arithmetic)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mt = (
+        F.when(F.col("n_chars") % 3 == 0, "image")
+        .when(F.col("n_chars") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.concat(F.lit("med://"), F.col("doc_id")).alias("media_ref"),
+        mt.alias("media_type"),
+        F.struct(
+            (F.col("n_chars") % 497 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 311 + 16).cast("int").alias("height"),
+            (F.col("n_chars") % 9000 + 500).cast("int").alias("duration_ms"),
+            F.lit("fix").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def m_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the media sidecar — pure JVM plan, no UDF."""
+    return resize_plan(media_dims(spark, sf_dir), max_side=RESIZE_MAX_SIDE)
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample timestamps for non-image media (sequence + explode)."""
+    out = frame_sample_plan(media_dims(spark, sf_dir), every_ms=FRAME_EVERY_MS)
+    return out.select("media_ref", F.col("sample_ms").cast("int").alias("sample_ms"))
+
+
+def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode kernel over the synthetic media table —
+    rows-only in the driver contract (binary payload parsing is not
+    SQL-expressible); determinism is pinned by tests/test_multimodal.py."""
+    dec = decode_media(media_table(spark, n=200, seed=13))
+    return dec.withColumn("mean_luma", F.round("mean_luma", 4))
 
 
 def docs_media_join(spans: DataFrame, media_feats: DataFrame) -> DataFrame:
