@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.quality_score,
         "lang_id_stopwords": text.lang_id_stopwords,
         "fingerprint_md5": text.fingerprint_md5,
+        "fingerprint_rolling": text.fingerprint_rolling,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -144,6 +145,21 @@ def _lang_id_sql() -> str:
         "SELECT doc_id, "
         + best_expr
         + " AS pred_lang FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)"
+    )
+
+
+def _rolling_sql() -> str:
+    from astrospark.ops.text import ROLL_B, ROLL_P
+
+    wh = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(wd), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return (
+        "SELECT doc_id, CAST(list_reduce(list_prepend(0, "
+        f"list_transform(string_split(text, ' '), wd -> {wh})), "
+        f"(acc, h) -> (acc * {ROLL_B} + h) % {ROLL_P}) AS BIGINT) AS roll_fp "
+        "FROM documents"
     )
 
 
@@ -299,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": (
             "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint FROM documents"
         ),
+        "fingerprint_rolling": _rolling_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

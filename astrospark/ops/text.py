@@ -183,7 +183,44 @@ def sum_exprs(exprs):
 
 def fingerprint_md5(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the punctuation-stripped lowercase
-    text (portable; the rolling-hash variant lives in dedup.simhash)."""
+    text (portable; the rolling-hash variant is fingerprint_rolling)."""
     d = _docs(spark, sf_dir)
     normed = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
     return d.select("doc_id", F.md5(normed).alias("fingerprint"))
+
+
+# rolling-hash params: word value = first 16 md5 bits, chained with the
+# classic (acc*B + h) mod P polynomial — order-sensitive (unlike a bag
+# hash), so reordered documents fingerprint differently
+ROLL_B = 65599
+ROLL_P = 1_000_000_007
+_HEXMAP = "0123456789abcdef"
+
+
+def _word_hash16(wd):
+    """First 16 bits of md5(word) via portable nibble arithmetic (same
+    construction as dedup.simhash16)."""
+    h = F.md5(wd)
+    val = None
+    for i in range(4):
+        nib = (F.instr(F.lit(_HEXMAP), F.substring(h, i + 1, 1)) - 1).cast("long")
+        val = nib if val is None else val * 16 + nib
+    return val
+
+
+def fingerprint_rolling(spark, sf_dir) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint over words.
+
+    Entirely JVM-side (higher-order aggregate over the split word array);
+    one linear scan per document, no shuffle beyond the scan projection.
+    The DuckDB oracle replays it with list_reduce over the same md5-nibble
+    word values — identical left-fold order, identical bigint arithmetic.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    fp = F.aggregate(
+        F.transform(words, _word_hash16),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+    )
+    return d.select("doc_id", fp.cast("bigint").alias("roll_fp"))
