@@ -44,13 +44,26 @@ _ARTIFACT_CACHE: dict = {}
 
 
 def load_default_artifacts():
-    """(vocab, trie, model) from the packaged resources — driver side."""
+    """(vocab, trie, model) from the packaged resources — driver side.
+
+    Uses importlib.resources when the on-disk path is absent so the same
+    code works with astrospark shipped as a zip via spark-submit
+    --py-files (np.load accepts the file-like resource stream)."""
+    import os
+
     from astrospark.crf import CrfModel
     from astrospark.lexicon import load_artifacts
     from astrospark.train import WEIGHTS_PATH
 
     vocab, trie = load_artifacts()
-    model = CrfModel.load(WEIGHTS_PATH)
+    if os.path.exists(WEIGHTS_PATH):
+        model = CrfModel.load(WEIGHTS_PATH)
+    else:
+        import io
+        from importlib import resources
+
+        blob = (resources.files("astrospark") / "resources" / "weights.npz").read_bytes()
+        model = CrfModel.load(io.BytesIO(blob))  # np.load needs a seekable stream
     return vocab, trie, model
 
 

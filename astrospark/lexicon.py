@@ -45,11 +45,23 @@ _DEFAULT_GAZETTEER = os.path.join(
 )
 
 
+def _open_default():
+    """Gazetteer stream that also works when astrospark is imported from a
+    zip (spark-submit --py-files): importlib.resources reads zip members;
+    the plain-path fallback covers editable/dev layouts."""
+    if os.path.exists(_DEFAULT_GAZETTEER):
+        return open(_DEFAULT_GAZETTEER, encoding="utf-8")
+    from importlib import resources
+
+    return (resources.files("astrospark") / "resources" / "gazetteer.txt").open(
+        "r", encoding="utf-8"
+    )
+
+
 def load_names(path: str | None = None) -> list[str]:
     """Read gazetteer lines (one full, possibly multi-token, name each)."""
-    path = path or _DEFAULT_GAZETTEER
     names: list[str] = []
-    with open(path, encoding="utf-8") as fh:
+    with (open(path, encoding="utf-8") if path else _open_default()) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if line:
