@@ -71,7 +71,7 @@ def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from astrospark.ops import dedup, events, multimodal, similarity, text
+    from astrospark.ops import dedup, events, multimodal, relational, similarity, text
 
     return {
         # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — non-SQL ops,
@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "simhash16": dedup.simhash16,
+        # classic relational shapes over the TPC-H-ish tables
+        "r1_pricing_summary": relational.r1_pricing_summary,
+        "r2_segment_revenue": relational.r2_segment_revenue,
+        "r3_priority_with_lineitems": relational.r3_priority_with_lineitems,
         # event-stream relational ops (windows / sessions / json)
         "w1_event_windows": events.w1_event_windows,
         "w2_user_sessions": events.w2_user_sessions,
@@ -323,6 +327,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "simhash16": _simhash_sql(),
+        "r1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "CAST(count(*) AS BIGINT) AS n_items, "
+            "round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-01 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "r2_segment_revenue": (
+            "SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "r3_priority_with_lineitems": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
+            "GROUP BY o_orderpriority"
+        ),
         "w1_event_windows": (
             "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type, "
             "CAST(count(*) AS INT) AS n_events, round(sum(value), 4) AS sum_value "

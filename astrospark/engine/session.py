@@ -18,7 +18,9 @@ def build_session(
     app_name: str = "astrospark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 4096,  # kernel sweet spot: unique-token
+    # amortization grows with batch size until ~8k docs, where the
+    # factorized tables fall out of cache (measured 1024..16384)
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
