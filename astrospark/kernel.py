@@ -27,7 +27,7 @@ import pandas as pd
 from astrospark.analyzer import TOKEN_RE
 from astrospark.crf import CrfModel, viterbi_batched
 from astrospark.features import compute_columns
-from astrospark.lexicon import match_positions
+from astrospark.lexicon import _WS_TOKENS, END
 from astrospark.oracle import LINE_KINDS, TEXT_KINDS, is_blank, java_trim
 from astrospark.templates import LABEL_BEGIN, LABEL_OTHER
 from astrospark.unicode_norm import NORMALIZE_TABLE
@@ -143,12 +143,48 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
     char_end = cum - np.repeat(cum[unit_starts] - tok_len[unit_starts], counts)
     char_start = char_end - tok_len
 
-    # gazetteer interval flags (J2) — per unit trie scan
+    # gazetteer interval flags (J2) — candidate-pruned trie scan: root
+    # membership is evaluated once per DISTINCT token; the python descent
+    # loop only runs from root-hit positions (a few % of tokens), with
+    # the same greedy longest-match / ws-skip / restart-after-match
+    # semantics as the scalar matcher (lexicon.match_positions, fuzz- and
+    # golden-checked against it via the oracle suite)
     in_interval = np.zeros(n, dtype=bool)
-    for ui, toks in enumerate(token_lists):
-        base = unit_starts[ui]
-        for s, e in match_positions(toks, trie):
-            in_interval[base + s : base + e + 1] = True
+    u_ws = uniq_ser.isin(_WS_TOKENS).to_numpy(dtype=bool)
+    u_root = np.fromiter(
+        (u in trie for u in tok_uniq), dtype=bool, count=len(tok_uniq)
+    )
+    cand_idx = np.flatnonzero(u_root[tok_codes])
+    if len(cand_idx):
+        unit_ends = unit_starts + counts
+        cand_end = unit_ends[
+            np.searchsorted(unit_starts, cand_idx, side="right") - 1
+        ]
+        K = len(cand_idx)
+        k = 0
+        while k < K:
+            i = int(cand_idx[k])
+            end = int(cand_end[k])
+            node = trie
+            j = i
+            last_end = -1
+            while j < end:
+                c = tok_codes[j]
+                if u_ws[c]:
+                    j += 1
+                    continue
+                nxt = node.get(uniq_arr[c])
+                if nxt is None:
+                    break
+                node = nxt
+                if END in node:
+                    last_end = j
+                j += 1
+            k += 1
+            if last_end >= 0:
+                in_interval[i : last_end + 1] = True
+                while k < K and cand_idx[k] <= last_end:
+                    k += 1
 
     # eligibility (AstroParser.addFeatures:632-642) — per unique token
     arr = flat_tokens.to_numpy()
