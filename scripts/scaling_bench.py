@@ -90,9 +90,19 @@ def main() -> None:
     docs_path = ensure_bench_docs(None, n_docs)
 
     ctrl = {n: cpu_control(n) for n in sorted({n_lo, n_hi, 8, 32})}
+    # the VM's contention drifts on the minutes scale, so a single child
+    # per level can sample incomparable host states (one run saw local[32]
+    # beat 2x its local[8] while another saw the reverse); INTERLEAVE two
+    # children per level and keep each level's best so both levels sample
+    # both time windows
+    def best(a: dict, b: dict) -> dict:
+        return a if a["docs_per_sec"] >= b["docs_per_sec"] else b
+
     r_lo = run_engine(n_lo, docs_path)
     r_hi = run_engine(n_hi, docs_path)
-    r32 = run_engine(32, docs_path) if n_hi != 32 else r_hi
+    r_lo = best(r_lo, run_engine(n_lo, docs_path))
+    r_hi = best(r_hi, run_engine(n_hi, docs_path))
+    r32 = r_hi if n_hi == 32 else run_engine(32, docs_path)
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (n_hi / n_lo)
     ctrl_eff_8_32 = (ctrl[32] / ctrl[8]) / 4 if 8 in ctrl and 32 in ctrl else None
     result = {
