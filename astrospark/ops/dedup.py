@@ -75,25 +75,33 @@ _PAIRS_EXPR = (
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard over rare shingles.
 
-    Posting-list formulation: ONE aggregation builds the per-shingle
-    sorted doc list (collect_set dedups within the group, so the exploded
-    shingles need no pre-distinct shuffle); the df <= MAX_DF filter bounds
-    every list, and candidate pairs are expanded JVM-side from the bounded
-    lists (<= MAX_DF²/2 per shingle) instead of a shingle self-join. vs
-    the naive shape this drops the (doc,shingle) distinct shuffle, the
-    df-filter join-back shuffle, and the self-join — what remains is one
-    shuffle to build postings and one to aggregate pair counts. At 10^12
-    docs the high-DF boilerplate shingles (the only unbounded collect_set
-    inputs) are exactly the ones the filter discards; if driver-side
-    memory for a pathological key is a concern, a pre-count pass (cheap
-    map-side partial count) prunes them before collection.
+    Posting-list formulation with a bounded-memory guarantee:
+
+    1. One explicit hash partition on ``shingle``; both aggregations and
+       the join below reuse it (EnsureRequirements inserts no further
+       exchange), so the shingle stream is shuffled ONCE.
+    2. Pass A: distinct-doc count per shingle — map-side partial
+       count_distinct is bounded state; high-DF boilerplate shingles
+       (the k² blow-up and the OOM vector at 10^12 docs) are discarded
+       HERE, before anything collects them.
+    3. Pass B: collect_set only over surviving rows — every buffer is
+       provably <= MAX_DF entries.
+    4. Candidate pairs expand JVM-side from the bounded sorted lists
+       (<= MAX_DF²/2 per shingle) — never a shingle self-join.
     """
     d = _docs(spark, sf_dir)
-    sh = _shingles(d, dedup=False)
-    posting = (
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = _shingles(d, dedup=False).repartition(n_part, "shingle").persist()
+    rare = (
         sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("shingle")
+    )
+    posting = (
+        sh.join(rare, "shingle")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= MAX_DF)
         .persist()
     )
     sizes = (
