@@ -152,7 +152,7 @@ def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+def dedup_minhash_lsh(spark, sf_dir, max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard.
 
     Bands of BAND_SIZE minhashes; a pair is a candidate iff it collides in
@@ -162,6 +162,14 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     16 strings/doc — at 10^12 docs you would materialize them as a table);
     band keys go to LONG format (doc_id, band_id, key) so candidate
     generation is ONE equi-join on (band_id, key), not one join per band.
+
+    ``max_bucket``: at web scale a bucket holding k near-identical docs
+    yields k²/2 pairs — inherent to LSH, not to this plan. Oversized
+    buckets are exact-dup clusters in practice (identical signatures),
+    already handled by ``dedup_exact``; set ``max_bucket`` to route them
+    out of the pairwise path (count_distinct prefilter, spillable — same
+    bounded-memory pattern as the jaccard postings). Default None keeps
+    exhaustive semantics for the oracle contract.
     """
     d = _docs(spark, sf_dir)
     sig = minhash_signature(d).persist()
@@ -181,6 +189,14 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     # self-join would. (A bucket holding k near-identical docs yields k²/2
     # pairs either way — that blow-up is inherent to LSH; at extreme scale
     # cap/sample oversized buckets, they are exact-dup clusters anyway.)
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band_id", "bk")
+            .agg(F.count_distinct("doc_id").alias("sz"))
+            .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+            .select("band_id", "bk")
+        )
+        bands = bands.join(keep, ["band_id", "bk"])
     pairs = (
         bands.groupBy("band_id", "bk")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
