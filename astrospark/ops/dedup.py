@@ -13,6 +13,12 @@ replay them bit-for-bit. Scale notes per operator:
   seed), banded 4x4; candidate pairs = equi-join on band keys — the
   shuffle is on band buckets, never all-pairs.
 - simhash: 16-bit portable simhash over word hashes; hamming-0 buckets.
+
+The df-bounded posting-list shape is the filter-verification pattern of
+the set-similarity-join literature (e.g. "Scalable and Robust Set
+Similarity Join", ICDE 2018 — PAPERS.md): prune candidate-generating
+tokens by frequency first, verify exactly on the survivors; the verify
+step here is the exact Jaccard from posting intersections.
 """
 
 from __future__ import annotations
