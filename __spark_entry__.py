@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "emb_neardup_pairs": similarity.emb_neardup_pairs,
     }
 
@@ -263,6 +264,28 @@ def _cosine_sql(bucketed: bool) -> str:
     )
 
 
+def _ivf_sql() -> str:
+    from astrospark.ops.similarity import N_CENTROIDS, TOP_K
+
+    return (
+        "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
+        f"WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}), "
+        "a AS (SELECT e.vec_id, c.cid, "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 4) AS cs "
+        "FROM embeddings e, c), "
+        "r AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM a), "
+        "cell AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
+        "q AS (SELECT cid FROM cell WHERE vec_id = 0), "
+        "qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id, "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], qe.q_emb::DOUBLE[]), 4) AS cos_sim "
+        "FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id, q, qe "
+        "WHERE cell.cid = q.cid AND e.vec_id <> 0 "
+        f"ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from astrospark.ops.similarity import NEARDUP_COS, SIGN_DIMS
 
@@ -387,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY 1"
         ),
         "ann_lsh_topk": _cosine_sql(bucketed=True),
+        "ann_ivf_topk": _ivf_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

@@ -83,6 +83,61 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
 
 
+N_CENTROIDS = 8
+
+
+def ivf_cells(spark, sf_dir) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the deterministic seed vectors vec_id 1..N_CENTROIDS (a
+    production build would k-means them; the assignment/search plan is
+    identical). The centroid table is broadcast; assignment is a
+    broadcast nested-loop over N_CENTROIDS rows + windowed argmax with a
+    4-decimal rounded score and centroid-id tie-break (portable across
+    engines). At 10^12 scale the cell id becomes the partition key, so
+    probe-time search touches one cell's partitions only.
+    """
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).withColumn("emb_d", F.col("embedding").cast("array<double>"))
+    cents = (
+        e.filter(F.col("vec_id").between(1, N_CENTROIDS))
+        .select(F.col("vec_id").alias("cid"), F.col("emb_d").alias("cemb"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("emb_d"), F.col("cemb")), 4).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF probe: search only the query vector's cell (nprobe=1)."""
+    e = _emb(spark, sf_dir)
+    cells = ivf_cells(spark, sf_dir)
+    v = e.join(cells, "vec_id")
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    cands = v.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("cell") == F.col("q_cell")
+    )
+    sims = cands.select(
+        "vec_id",
+        F.round(
+            cosine(F.col("embedding").cast("array<double>"), F.col("q_emb").cast("array<double>")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
 def emb_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucket-prefiltered.
 

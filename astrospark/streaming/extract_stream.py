@@ -51,6 +51,30 @@ def run_to_parquet(
     return w.start()
 
 
+def stream_dedup_exact(docs_stream: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+    """Streaming exact dedup: first-seen-wins on the content fingerprint.
+
+    The fingerprint is md5 over the doc's concatenated chunk texts (same
+    exact-dup notion as ops.dedup.dedup_exact, streaming-side). Built-in
+    ``dropDuplicatesWithinWatermark`` carries the dedup state — idiomatic
+    and watermark-bounded, vs an applyInPandasWithState reimplementation
+    the engine would have to size by hand. Duplicates arriving within the
+    watermark horizon are dropped; the horizon is the dedup guarantee
+    window (at ingestion scale, cross-horizon dedup belongs to the batch
+    compaction pass)."""
+    fp = F.md5(
+        F.concat_ws(
+            "\x1e", F.transform("spans", lambda s: F.coalesce(s["text"], F.lit("")))
+        )
+    )
+    with_fp = docs_stream.withColumn("content_md5", fp).withColumn(
+        "_ts", F.current_timestamp()
+    )
+    return with_fp.withWatermark("_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
+
+
 def windowed_extraction_metrics(
     spans_stream: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
 ) -> DataFrame:

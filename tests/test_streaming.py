@@ -7,6 +7,7 @@ from astrospark.engine.extraction import broadcast_artifacts, extract_spans
 from astrospark.fixtures import docs_dataframe
 from astrospark.streaming.extract_stream import (
     run_to_parquet,
+    stream_dedup_exact,
     stream_docs_from_dir,
     stream_extract,
     windowed_extraction_metrics,
@@ -52,3 +53,28 @@ def test_windowed_metrics_plan(spark, bcast, tmp_path):
     # the assertion is that the stateful plan RUNS on the stream (rows may
     # legitimately be zero in a single availableNow drain)
     assert spark.table("m_counts").columns == ["window_start", "kind", "n_spans"]
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    in_dir = str(tmp_path / "in3")
+    docs = docs_dataframe(spark, 12, seed=57, skew_every=0, n_partitions=1)
+    # duplicate the corpus: same content under different doc_ids
+    import pyspark.sql.functions as F
+
+    dup = docs.withColumn("doc_id", F.concat(F.lit("copy-"), "doc_id"))
+    docs.unionByName(dup).write.parquet(in_dir)
+
+    deduped = stream_dedup_exact(stream_docs_from_dir(spark, in_dir))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    # every content seen exactly once; 12 distinct contents in, 24 docs
+    assert out.count() == 12
+    assert out.select("content_md5").distinct().count() == 12
