@@ -93,16 +93,20 @@ class CheckpointedExtraction:
             return set()
         return {r.bucket for r in rows}
 
-    def _append_commits(self, result: GroupResult, fingerprint: str) -> None:
+    def _append_commits(
+        self, result: GroupResult, fingerprint: str, per_bucket: dict | None = None
+    ) -> None:
+        """One commit row per bucket. ``per_bucket`` carries EXACT
+        (n_docs, n_spans, n_objects) per bucket (from the written output);
+        buckets with no rows get zeros — they are still committed, so
+        resume skips them."""
         now = time.time()
-        per_bucket_docs = result.n_docs // max(len(result.buckets), 1)
+        per_bucket = per_bucket or {}
         rows = [
             (
                 int(b),
                 fingerprint,
-                per_bucket_docs,
-                result.n_spans // max(len(result.buckets), 1),
-                result.n_objects // max(len(result.buckets), 1),
+                *(per_bucket.get(int(b), (0, 0, 0))),
                 result.wall_ms,
             )
             for b in result.buckets
@@ -165,7 +169,21 @@ class CheckpointedExtraction:
                 n_objects=int(metrics["n_objects"] or 0),
                 wall_ms=int((time.time() - t0) * 1000),
             )
-            self._append_commits(result, fingerprint)
+            # exact per-bucket metrics from the just-written partitions
+            # (partition-pruned scan of the group's buckets only)
+            per_bucket = {
+                int(r["_bucket"]): (int(r["nd"]), int(r["ns"]), int(r["no"]))
+                for r in spark.read.parquet(output_dir)
+                .filter(F.col("_bucket").isin(group))
+                .groupBy("_bucket")
+                .agg(
+                    F.sum((F.col("seq") == 0).cast("long")).alias("nd"),
+                    F.count(F.lit(1)).alias("ns"),
+                    F.sum((F.col("kind") == "object").cast("long")).alias("no"),
+                )
+                .collect()
+            }
+            self._append_commits(result, fingerprint, per_bucket)
             results.append(result)
         return results
 
