@@ -43,7 +43,9 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flat = documents_to_docs(read_docs(spark, f"{sf_dir}/documents.parquet"))
     fixtures = docs_dataframe(spark, 60, seed=42, skew_every=0, n_partitions=4)
-    return extract_spans(flat.unionByName(fixtures), _bcast(spark))
+    # explicit width: the driver's vanilla session defaults to 200 shuffle
+    # partitions — 200 near-empty python workers for a small smoke input
+    return extract_spans(flat.unionByName(fixtures), _bcast(spark), n_partitions=32)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -58,7 +60,7 @@ def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astrospark.fixtures import docs_dataframe
 
     docs = docs_dataframe(spark, 150, seed=42, skew_every=75, n_partitions=8)
-    return extract_spans(docs, _bcast(spark), split_threshold=50_000)
+    return extract_spans(docs, _bcast(spark), n_partitions=16, split_threshold=50_000)
 
 
 def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
