@@ -160,7 +160,11 @@ class CrfModel:
         length with one int gather, never materializing n strings.
         """
         n = len(seq_ids)
-        scores = np.zeros((n, N_LABELS), dtype=np.float32)
+        # float64 accumulation — matches the scalar oracle (and Wapiti's C
+        # doubles); float32 sums drift enough over 50+ templates and long
+        # Viterbi chains to flip near-tie decodes on multi-thousand-token
+        # sequences (caught by giant-doc fuzz)
+        scores = np.zeros((n, N_LABELS), dtype=np.float64)
         used_cols = sorted({c for _nm, spec in TEMPLATES for _d, c in spec})
         codes: dict[int, np.ndarray] = {}
         uniques: dict[int, np.ndarray] = {}
@@ -270,7 +274,7 @@ def viterbi_batched(emit: np.ndarray, seq_ids: np.ndarray, trans: np.ndarray,
     order = np.argsort(lengths, kind="stable")
 
     out = np.empty(n, dtype=np.int64)
-    transT = trans.astype(np.float32)
+    transT = trans.astype(np.float64)  # f64 accumulation, same as viterbi_single
 
     for b0 in range(0, len(order), bucket_size):
         idx = order[b0 : b0 + bucket_size]
@@ -278,7 +282,7 @@ def viterbi_batched(emit: np.ndarray, seq_ids: np.ndarray, trans: np.ndarray,
         S = len(idx)
         Tmax = int(ls.max())
         # gather into (S, Tmax, L) padded tensor
-        em = np.zeros((S, Tmax, N_LABELS), dtype=np.float32)
+        em = np.zeros((S, Tmax, N_LABELS), dtype=np.float64)
         for si, qi in enumerate(idx):
             em[si, : lengths[qi]] = emit[starts[qi] : ends[qi]]
         delta = em[:, 0, :].copy()  # (S, L)

@@ -112,3 +112,36 @@ def test_media_passthrough_and_interleaving(artifacts):
     assert kinds == ["media", "object", "media"]
     assert out["seq"].tolist() == [0, 1, 2]
     assert out["offset"].tolist() == [5, 13, 30]
+
+
+def test_long_sequence_decode_matches_oracle(artifacts):
+    """Multi-thousand-token sequence: float32 Viterbi/emission accumulation
+    drifts enough to flip near-tie decodes at this length (regression for
+    the float64 fix); the kernel must match the float64 scalar oracle."""
+    import random
+
+    import pandas as pd
+
+    from astrospark.kernel import extract_batch
+    from astrospark.lexicon import load_names
+    from astrospark.oracle import process_document
+
+    vocab, trie, model = artifacts
+    names = load_names()
+    rng = random.Random(7)
+    words = []
+    for _ in range(4000):
+        words.append(rng.choice(names) if rng.random() < 0.1 else f"w{rng.randint(0, 50)}")
+    spans = [{"kind": "text", "text": " ".join(words), "media_ref": "", "offset": 0}]
+    pdf = pd.DataFrame({"doc_id": ["long0"], "spans": [spans]})
+    out = extract_batch(pdf, vocab, trie, model)
+    got = [
+        (int(r.seq), r.kind, r.text, r.media_ref, int(r.offset))
+        for r in out.itertuples()
+    ]
+    want = [
+        (x["seq"], x["kind"], x["text"], x["media_ref"], x["offset"])
+        for x in process_document(spans, vocab, trie, model)
+    ]
+    assert got == want
+    assert len(got) > 50  # the doc genuinely exercises decode
