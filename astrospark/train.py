@@ -4,10 +4,12 @@ the reference's ``gradlew train_astro`` task
 but produces a broadcastable numpy artifact instead of a Wapiti binary.
 
 Deterministic: seeded corpus + seeded averaged perceptron. Run:
-    python -m astrospark.train [n_paragraphs] [n_iter]
-writes astrospark/resources/weights.npz and prints token/entity P/R/F on a
-held-out split (80/20, mirroring AstroTrainer.java:140-150 but with a fixed
-seed instead of Math.random()).
+    python -m astrospark.train [n_paragraphs] [n_iter] [out.npz]
+prints token/entity P/R/F on a held-out split (80/20, mirroring
+AstroTrainer.java:140-150 but with a fixed seed instead of Math.random()).
+The trained weights are written ONLY when ``out.npz`` is given — a quick
+eval run must not clobber the shipped artifact; regenerate it with
+    python -m astrospark.train 800 12 astrospark/resources/weights.npz
 """
 
 from __future__ import annotations
@@ -63,7 +65,9 @@ def evaluate(model: CrfModel, paras, vocab, trie) -> dict:
     return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
 
 
-def main(n_paragraphs: int = 600, n_iter: int = 10, seed: int = 42) -> dict:
+def main(
+    n_paragraphs: int = 600, n_iter: int = 10, seed: int = 42, out: str | None = None
+) -> dict:
     vocab, trie = load_artifacts()
     paras = corpus_mod.make_corpus(n_paragraphs, seed=seed)
     n_train = int(len(paras) * 0.8)
@@ -76,7 +80,8 @@ def main(n_paragraphs: int = 600, n_iter: int = 10, seed: int = 42) -> dict:
             sequences.append(seq)
 
     model = train_perceptron(sequences, n_iter=n_iter, seed=seed)
-    model.save(WEIGHTS_PATH)
+    if out:
+        model.save(out)
     metrics = evaluate(model, eval_paras, vocab, trie)
     return metrics
 
@@ -84,5 +89,6 @@ def main(n_paragraphs: int = 600, n_iter: int = 10, seed: int = 42) -> dict:
 if __name__ == "__main__":
     n_p = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     n_i = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    m = main(n_p, n_i)
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    m = main(n_p, n_i, out=out_path)
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items()})
