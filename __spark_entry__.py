@@ -389,6 +389,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k "
             "FROM events GROUP BY event_type"
         ),
+        # golden-value oracle: the interleaved fixture corpus (150 docs,
+        # seed 42) is deterministic, so the expected per-kind span counts
+        # are constants COMPUTED FROM THE SCALAR ORACLE (process_document)
+        # — turning this extraction query into a value-checked one. Must
+        # be regenerated if the fixture generator or model artifact
+        # changes (tests/test_reference_golden.py pins both).
+        "extraction_kind_counts": (
+            "SELECT 'media' AS kind, 266 AS n_spans "
+            "UNION ALL SELECT 'object' AS kind, 1783 AS n_spans"
+        ),
+        # full golden span table, computed by the SCALAR ORACLE over the
+        # same deterministic fixture corpus and frozen to parquet — the
+        # driver value-checks the ENTIRE extracted span sequence (kind,
+        # text, media_ref, offset, seq) of the interleaved query
+        "extract_interleaved": (
+            'SELECT doc_id, seq, kind, text, media_ref, "offset" '
+            f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet'"
+        ),
         "m_resize_plan": (
             "WITH m AS (SELECT 'med://' || doc_id AS media_ref, "
             "CAST(n_chars % 3 AS INT) AS k, "

@@ -1,0 +1,62 @@
+"""Regenerate the oracle-derived golden artifacts consumed by the driver
+contract (run after ANY change to the fixture generator, gazetteer,
+feature semantics, or the shipped weights artifact):
+
+- tests/golden/interleaved_spans.parquet — the full expected span table
+  of the `extract_interleaved` query (150 fixture docs, seed 42,
+  skew_every 75), computed by the SCALAR ORACLE (not the kernel, so the
+  golden is independent of the code under test).
+- prints the per-kind counts to paste into the `extraction_kind_counts`
+  oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from astrospark.crf import CrfModel
+    from astrospark.fixtures import make_docs
+    from astrospark.lexicon import load_artifacts
+    from astrospark.oracle import process_document
+    from astrospark.train import WEIGHTS_PATH
+
+    vocab, trie = load_artifacts()
+    model = CrfModel.load(WEIGHTS_PATH)
+    rows: dict = {k: [] for k in ("doc_id", "seq", "kind", "text", "media_ref", "offset")}
+    counts: Counter = Counter()
+    for d in make_docs(150, seed=42, skew_every=75):
+        for s in process_document(d["spans"], vocab, trie, model):
+            rows["doc_id"].append(d["doc_id"])
+            for k in ("seq", "kind", "text", "media_ref", "offset"):
+                rows[k].append(s[k])
+            counts[s["kind"]] += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "seq": pa.array(rows["seq"], pa.int32()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "offset": pa.array(rows["offset"], pa.int32()),
+        }
+    )
+    out = os.path.join(REPO, "tests", "golden", "interleaved_spans.parquet")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(t, out)
+    print(f"wrote {out}: {t.num_rows} rows; kind counts: {dict(counts)}")
+    print("(update the extraction_kind_counts oracle in __spark_entry__.py "
+          "if the counts changed)")
+
+
+if __name__ == "__main__":
+    main()
