@@ -407,6 +407,13 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, seq, kind, text, media_ref, "offset" '
             f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet'"
         ),
+        # flagship golden is valid because the sf documents are filler
+        # with ZERO extractions (verified by oracle at sf0.001/sf0.01) —
+        # the output is exactly the fixture corpus's spans
+        "extract_flagship": (
+            'SELECT doc_id, seq, kind, text, media_ref, "offset" '
+            f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/flagship_spans.parquet'"
+        ),
         "m_resize_plan": (
             "WITH m AS (SELECT 'med://' || doc_id AS media_ref, "
             "CAST(n_chars % 3 AS INT) AS k, "

@@ -32,28 +32,40 @@ def main() -> None:
 
     vocab, trie = load_artifacts()
     model = CrfModel.load(WEIGHTS_PATH)
-    rows: dict = {k: [] for k in ("doc_id", "seq", "kind", "text", "media_ref", "offset")}
-    counts: Counter = Counter()
-    for d in make_docs(150, seed=42, skew_every=75):
-        for s in process_document(d["spans"], vocab, trie, model):
-            rows["doc_id"].append(d["doc_id"])
-            for k in ("seq", "kind", "text", "media_ref", "offset"):
-                rows[k].append(s[k])
-            counts[s["kind"]] += 1
-    t = pa.table(
-        {
-            "doc_id": pa.array(rows["doc_id"], pa.string()),
-            "seq": pa.array(rows["seq"], pa.int32()),
-            "kind": pa.array(rows["kind"], pa.string()),
-            "text": pa.array(rows["text"], pa.string()),
-            "media_ref": pa.array(rows["media_ref"], pa.string()),
-            "offset": pa.array(rows["offset"], pa.int32()),
-        }
-    )
-    out = os.path.join(REPO, "tests", "golden", "interleaved_spans.parquet")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    pq.write_table(t, out)
-    print(f"wrote {out}: {t.num_rows} rows; kind counts: {dict(counts)}")
+
+    def spans_table(docs):
+        rows: dict = {k: [] for k in ("doc_id", "seq", "kind", "text", "media_ref", "offset")}
+        counts: Counter = Counter()
+        for d in docs:
+            for s in process_document(d["spans"], vocab, trie, model):
+                rows["doc_id"].append(d["doc_id"])
+                for k in ("seq", "kind", "text", "media_ref", "offset"):
+                    rows[k].append(s[k])
+                counts[s["kind"]] += 1
+        t = pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "seq": pa.array(rows["seq"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "offset": pa.array(rows["offset"], pa.int32()),
+            }
+        )
+        return t, counts
+
+    os.makedirs(os.path.join(REPO, "tests", "golden"), exist_ok=True)
+    for name, docs in (
+        ("interleaved_spans", make_docs(150, seed=42, skew_every=75)),
+        # flagship golden: the sf documents are filler with zero
+        # extractions (verified for sf0.001/sf0.01), so the expected
+        # output is exactly the 60-doc fixture corpus's spans
+        ("flagship_spans", make_docs(60, seed=42, skew_every=0)),
+    ):
+        t, counts = spans_table(docs)
+        out = os.path.join(REPO, "tests", "golden", f"{name}.parquet")
+        pq.write_table(t, out)
+        print(f"wrote {out}: {t.num_rows} rows; kind counts: {dict(counts)}")
     print("(update the extraction_kind_counts oracle in __spark_entry__.py "
           "if the counts changed)")
 
