@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_source_stats": text.a4_source_stats,
         # training-data pipeline: text analysis
         "quality_score": text.quality_score,
+        "b1_boilerplate_strip": text.b1_boilerplate_strip,
         "lang_id_stopwords": text.lang_id_stopwords,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
@@ -339,6 +340,14 @@ def oracle_sql() -> dict[str, str]:
             "round((length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')), 4) AS mean_word_len, "
             "round(((length(text) - length(replace(text, ' the ', ''))) / 5.0) / len(string_split(text, ' ')), 4) AS the_ratio "
             "FROM documents"
+        ),
+        "b1_boilerplate_strip": (
+            "WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents), "
+            "k AS (SELECT doc_id, sents, "
+            "list_filter(sents, x -> len(string_split(x, ' ')) >= 8) AS kept FROM s) "
+            "SELECT doc_id, "
+            "coalesce(list_aggregate(kept, 'string_agg', '. '), '') AS main_text, "
+            "CAST(len(kept) AS INT) AS n_kept, CAST(len(sents) AS INT) AS n_sent FROM k"
         ),
         "lang_id_stopwords": _lang_id_sql(),
         "fingerprint_md5": (

@@ -181,6 +181,31 @@ def sum_exprs(exprs):
     return acc
 
 
+BOILERPLATE_MIN_WORDS = 8
+
+
+def b1_boilerplate_strip(spark, sf_dir) -> DataFrame:
+    """Main-content extraction: drop boilerplate sentences, keep content.
+
+    jusText/Readability-style length heuristic, fully JVM-side (split →
+    higher-order filter → join, no UDF, no shuffle): a sentence is
+    content iff it has >= BOILERPLATE_MIN_WORDS words — short fragments
+    (menus, captions, nav crumbs) are boilerplate. At web scale richer
+    scores (link density, stopword density — see quality_score) slot into
+    the same filter lambda; the plan shape is unchanged.
+    """
+    d = _docs(spark, sf_dir)
+    sents = F.split("text", "\\. ")
+    is_content = lambda x: F.size(F.split(x, " ")) >= BOILERPLATE_MIN_WORDS  # noqa: E731
+    kept = F.filter(sents, is_content)
+    return d.select(
+        "doc_id",
+        F.array_join(kept, ". ").alias("main_text"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.size(sents).cast("int").alias("n_sent"),
+    )
+
+
 def fingerprint_md5(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the punctuation-stripped lowercase
     text (portable; the rolling-hash variant is fingerprint_rolling)."""
