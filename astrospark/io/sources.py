@@ -50,6 +50,27 @@ def write_spans(spans: DataFrame, target: str, fmt: str = "parquet", mode: str =
     spans.write.format(fmt).mode(mode).save(target)
 
 
+def write_spans_bucketed(
+    spans: DataFrame, table: str, n_buckets: int = 256, mode: str = "overwrite"
+) -> None:
+    """Persist spans as a doc_id-bucketed table.
+
+    At 10^12-doc scale, downstream per-document joins (spans ⋈ docs,
+    spans ⋈ media features, incremental reconciliation) are the dominant
+    shuffles; writing both sides bucketed by ``doc_id`` with the same
+    bucket count lets Spark plan those joins with NO Exchange on either
+    side (see tests/test_plans.py::test_bucketed_join_has_no_exchange).
+    Iceberg's ``bucket(N, doc_id)`` partition transform is the
+    catalog-native equivalent."""
+    (
+        spans.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id", "seq")
+        .saveAsTable(table)
+    )
+
+
 def spans_to_json(spans: DataFrame) -> DataFrame:
     """API-edge JSON rendition (one json string per span row)."""
     return spans.select(
