@@ -433,6 +433,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT) AS target_h "
             "FROM m"
         ),
+        # golden: the seeded media table + decode are pure-Python
+        # deterministic; expected records frozen by scripts/regen_golden.py
+        "m_decode_stub": (
+            "SELECT media_ref, media_type, width, height, n_frames, mean_luma "
+            f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/decoded_media.parquet'"
+        ),
         "m_frame_sample": (
             "WITH m AS (SELECT 'med://' || doc_id AS media_ref, "
             "CAST(n_chars % 3 AS INT) AS k, "

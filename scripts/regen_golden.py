@@ -6,6 +6,11 @@ feature semantics, or the shipped weights artifact):
   of the `extract_interleaved` query (150 fixture docs, seed 42,
   skew_every 75), computed by the SCALAR ORACLE (not the kernel, so the
   golden is independent of the code under test).
+- tests/golden/flagship_spans.parquet — same for the flagship query's
+  fixture corpus (sf filler docs contribute zero spans).
+- tests/golden/decoded_media.parquet — expected decode records of the
+  `m_decode_stub` query (pure-Python decode of the seeded media table,
+  no Spark in the loop).
 - prints the per-kind counts to paste into the `extraction_kind_counts`
   oracle in __spark_entry__.py.
 """
@@ -66,6 +71,39 @@ def main() -> None:
         out = os.path.join(REPO, "tests", "golden", f"{name}.parquet")
         pq.write_table(t, out)
         print(f"wrote {out}: {t.num_rows} rows; kind counts: {dict(counts)}")
+    # decoded-media golden: replay the deterministic fixture payloads
+    # through the pure-Python decode (same function the Spark kernel runs)
+    import numpy as np
+
+    from astrospark.ops.multimodal import _decode_one, make_fixture_payload
+
+    rng = np.random.default_rng(13)
+    recs: dict = {k: [] for k in ("media_ref", "media_type", "width", "height", "n_frames", "mean_luma")}
+    for i in range(200):
+        mt = ("image", "audio", "video")[int(rng.integers(0, 3))]
+        w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+        frames = 1 if mt == "image" else int(rng.integers(10, 300))
+        payload = make_fixture_payload(mt, w, h, frames, 13 * 1000 + i)
+        dw, dh, nf, luma = _decode_one(mt, payload)
+        recs["media_ref"].append(f"{mt[:3]}://obj/{i:09d}")
+        recs["media_type"].append(mt)
+        recs["width"].append(dw)
+        recs["height"].append(dh)
+        recs["n_frames"].append(nf)
+        recs["mean_luma"].append(round(luma, 4))
+    tm = pa.table(
+        {
+            "media_ref": pa.array(recs["media_ref"], pa.string()),
+            "media_type": pa.array(recs["media_type"], pa.string()),
+            "width": pa.array(recs["width"], pa.int32()),
+            "height": pa.array(recs["height"], pa.int32()),
+            "n_frames": pa.array(recs["n_frames"], pa.int32()),
+            "mean_luma": pa.array(recs["mean_luma"], pa.float64()),
+        }
+    )
+    outm = os.path.join(REPO, "tests", "golden", "decoded_media.parquet")
+    pq.write_table(tm, outm)
+    print(f"wrote {outm}: {tm.num_rows} rows")
     print("(update the extraction_kind_counts oracle in __spark_entry__.py "
           "if the counts changed)")
 
