@@ -4,10 +4,12 @@
 (SURVEY.md §3.1: scan → salted repartition → one Arrow-UDF stage) over the
 sf0.001 documents table. ``queries``/``oracle_sql`` map the operator
 inventory of SURVEY.md §2 plus the training-data-pipeline operators
-(dedup / similarity / text analysis) to DuckDB-checkable pairs; the
-extraction queries themselves are non-SQL-expressible (CRF decode) and are
-covered instead by the span-sequence-equality pytest suite
-(tests/test_spark_extraction.py) and recorded as rows-only here.
+(dedup / similarity / text analysis) to DuckDB-checkable pairs. The
+extraction queries (CRF decode — not SQL-expressible) are still
+VALUE-checked: their oracles are golden parquet span tables computed by
+the independent scalar oracle over the same deterministic fixture corpus
+(frozen by scripts/regen_golden.py; also pinned by
+tests/test_spark_extraction.py and tests/test_reference_golden.py).
 """
 
 from __future__ import annotations
@@ -100,7 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        # max_bucket=None pins exhaustive pair semantics for the oracle;
+        # the library DEFAULT is bounded (max_bucket=1000, VERDICT r1 §3)
+        "dedup_minhash_lsh": lambda spark, sf_dir: dedup.dedup_minhash_lsh(
+            spark, sf_dir, max_bucket=None
+        ),
         "simhash16": dedup.simhash16,
         # classic relational shapes over the TPC-H-ish tables
         "r1_pricing_summary": relational.r1_pricing_summary,
@@ -120,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "emb_neardup_pairs": similarity.emb_neardup_pairs,
+        # scale-default RP-LSH family (65,536 bucket keys per band; the
+        # sign_bucket queries above stay as the 16-bucket oracle setting)
+        "ann_rp_topk": similarity.ann_rp_topk,
+        "emb_neardup_banded": similarity.emb_neardup_banded,
     }
 
 
@@ -268,16 +278,20 @@ def _cosine_sql(bucketed: bool) -> str:
 
 
 def _ivf_sql() -> str:
-    from astrospark.ops.similarity import N_CENTROIDS, TOP_K
+    # cell assignment mirrors similarity.ivf_cells: integer-quantized
+    # vectors → exact dot/norm² (order-invariant float64 on ints ≪ 2^53)
+    # → one IEEE divide + sqrt — bit-identical to the Spark side
+    from astrospark.ops.similarity import N_CENTROIDS, QUANT_SCALE, TOP_K
 
     return (
-        "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
-        f"WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}), "
-        "a AS (SELECT e.vec_id, c.cid, "
-        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 4) AS cs "
-        "FROM embeddings e, c), "
+        "WITH qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {QUANT_SCALE})) AS q FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, q AS cq, list_dot_product(q, q) AS qn2 "
+        f"FROM qv WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}), "
+        "a AS (SELECT v.vec_id, c.cid, "
+        "list_dot_product(v.q, c.cq) / sqrt(c.qn2) AS s FROM qv v, c), "
         "r AS (SELECT vec_id, cid, row_number() OVER "
-        "(PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM a), "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM a), "
         "cell AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
         "q AS (SELECT cid FROM cell WHERE vec_id = 0), "
         "qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) "
@@ -286,6 +300,66 @@ def _ivf_sql() -> str:
         "FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id, q, qe "
         "WHERE cell.cid = q.cid AND e.vec_id <> 0 "
         f"ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
+def _rp_ctes() -> str:
+    """Shared CTE chain deriving the RP-LSH signatures in DuckDB: the
+    hyperplane matrix is re-derived from the same md5('rp:b:i') bytes the
+    Spark side inlines (similarity._rp_planes), and every dot product is
+    exact integer arithmetic in float64 — bit-identical signatures."""
+    from astrospark.ops.similarity import QUANT_SCALE, RP_BANDS, RP_BITS
+
+    n_planes = RP_BANDS * RP_BITS
+    hx = "instr('0123456789abcdef', substr(md5('rp:' || b || ':' || i), {p}, 1)) - 1"
+    return (
+        "dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1), "
+        "planes AS (SELECT b, list_transform(generate_series(0, dim - 1), i -> "
+        f"({hx.format(p=1)}) * 16 + ({hx.format(p=2)}) - 128) AS w "
+        f"FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS b), dims), "
+        "qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {QUANT_SCALE})) AS q FROM embeddings), "
+        "bits AS (SELECT vec_id, b, CASE WHEN list_dot_product(q, w::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END AS bit FROM qv, planes), "
+        "sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY vec_id)"
+    )
+
+
+def _rp_topk_sql() -> str:
+    from astrospark.ops.similarity import RP_BANDS, RP_BITS, RP_PROBE_DEPTHS, TOP_K
+
+    bands = ", ".join(f"({b})" for b in range(RP_BANDS))
+    depths = ", ".join(f"({d})" for d in RP_PROBE_DEPTHS)
+    return (
+        "WITH " + _rp_ctes() + ", "
+        f"bk AS (SELECT vec_id, band, depth, substr(s, band * {RP_BITS} + 1, depth) AS bk "
+        f"FROM sig, (VALUES {bands}) bands(band), (VALUES {depths}) ds(depth)), "
+        "qb AS (SELECT band, depth, bk FROM bk WHERE vec_id = 0), "
+        "cand AS (SELECT DISTINCT v.vec_id FROM bk v JOIN qb USING (band, depth, bk) "
+        "WHERE v.vec_id <> 0), "
+        "qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], "
+        "qe.q_emb::DOUBLE[]), 4) AS cos_sim "
+        "FROM embeddings e JOIN cand USING (vec_id), qe "
+        f"ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
+def _rp_neardup_sql() -> str:
+    from astrospark.ops.similarity import NEARDUP_COS, RP_BANDS, RP_BITS
+
+    bands = ", ".join(f"({b})" for b in range(RP_BANDS))
+    cos = "round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)"
+    return (
+        "WITH " + _rp_ctes() + ", "
+        f"bk AS (SELECT vec_id, band, substr(s, band * {RP_BITS} + 1, {RP_BITS}) AS bk "
+        f"FROM sig, (VALUES {bands}) bands(band)), "
+        "pairs AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
+        "FROM bk l JOIN bk r ON l.band = r.band AND l.bk = r.bk AND l.vec_id < r.vec_id) "
+        f"SELECT p.vec_a, p.vec_b, {cos} AS cos_sim, "
+        f"CASE WHEN {cos} >= {NEARDUP_COS} THEN 1 ELSE 0 END AS is_neardup "
+        "FROM pairs p JOIN embeddings a ON a.vec_id = p.vec_a "
+        "JOIN embeddings c ON c.vec_id = p.vec_b"
     )
 
 
@@ -453,6 +527,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _cosine_sql(bucketed=True),
         "ann_ivf_topk": _ivf_sql(),
+        "ann_rp_topk": _rp_topk_sql(),
+        "emb_neardup_banded": _rp_neardup_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

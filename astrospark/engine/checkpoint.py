@@ -14,8 +14,11 @@ extraction-count metrics so runs resume mid-table". Realization:
   ``<checkpoint_dir>/commits`` (parquet):
     (bucket int, input_fingerprint string, n_docs long, n_spans long,
      n_objects long, wall_ms long, completed_at timestamp)
-  n_docs/n_spans/n_objects come from ``Observation`` metrics on the
-  running job (no second pass).
+  Group-total n_docs/n_spans/n_objects come from ``Observation`` metrics
+  on the running job; the EXACT per-bucket split is then derived from the
+  just-written output with one partition-pruned aggregate over the
+  group's buckets (a second, cheap scan of only the fresh partitions —
+  Observation cannot produce per-group keys).
 - Resume = read the commit table, skip buckets already recorded for the
   same input fingerprint. Changing the fingerprint (new snapshot)
   invalidates prior progress for lineage-correct reruns.

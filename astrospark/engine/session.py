@@ -13,14 +13,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+# kernel sweet spot: unique-token amortization grows with batch size until
+# ~8k docs, where the factorized tables fall out of cache (measured
+# 1024..16384). Single source of truth — scripts/submit_extract.py imports
+# this so the spark-submit path cannot drift from the session factory.
+ARROW_BATCH_ROWS = 4096
+
 
 def build_session(
     app_name: str = "astrospark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 4096,  # kernel sweet spot: unique-token
-    # amortization grows with batch size until ~8k docs, where the
-    # factorized tables fall out of cache (measured 1024..16384)
+    arrow_batch_rows: int = ARROW_BATCH_ROWS,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

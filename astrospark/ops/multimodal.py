@@ -100,18 +100,65 @@ def _decode_one(media_type: str, content: bytes):
     )
 
 
+def _decode_fixture_batch(contents: list):
+    """Vectorized ASTF decode for a whole Arrow batch: all headers parsed
+    via ONE (n,16) numpy byte view, all body means via ONE reduceat over
+    the concatenated bodies — no per-row struct.unpack / .mean() calls.
+
+    Bit-identical to the scalar ``_decode_one``: body bytes are integers,
+    so their float64 sums are exact regardless of summation order, and the
+    final (sum/len)/255.0 matches the scalar mean()/255.0 exactly.
+    """
+    heads = np.frombuffer(
+        b"".join(c[:16] for c in contents), dtype=np.uint8
+    ).reshape(-1, 16)
+    whf = np.ascontiguousarray(heads[:, 4:16]).view("<i4")  # (n, 3)
+    bodies = [c[16:] for c in contents]
+    lens = np.fromiter((len(b) for b in bodies), dtype=np.int64, count=len(bodies))
+    cat = np.frombuffer(b"".join(bodies), dtype=np.uint8).astype(np.int64)
+    starts = np.zeros(len(bodies), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sums = np.add.reduceat(cat, starts)
+    means = (sums / lens) / 255.0
+    return whf[:, 0], whf[:, 1], whf[:, 2], means
+
+
 def decode_media(media: DataFrame) -> DataFrame:
-    """binary content → typed decode record (mapInPandas, Arrow-batched)."""
+    """binary content → typed decode record (mapInPandas, Arrow-batched).
+
+    Fixture (``ASTF``) payloads — the only kind this container can decode —
+    take the fully vectorized batch path; anything else falls back to the
+    per-item real-codec dispatch (inherently per-item: each blob is an
+    independent compressed stream)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for r in pdf.itertuples():
-                w, h, nf, luma = _decode_one(r.media_type, bytes(r.content))
-                recs.append((r.media_ref, r.media_type, w, h, nf, luma))
+            contents = [bytes(c) for c in pdf["content"]]
+            is_fix = np.array(
+                [c[:4] == _MAGIC and len(c) > 16 for c in contents], dtype=bool
+            )
+            n = len(contents)
+            w = np.zeros(n, dtype=np.int64)
+            h = np.zeros(n, dtype=np.int64)
+            nf = np.zeros(n, dtype=np.int64)
+            luma = np.zeros(n, dtype=np.float64)
+            if is_fix.any():
+                fi = np.flatnonzero(is_fix)
+                fw, fh, fnf, fl = _decode_fixture_batch([contents[i] for i in fi])
+                w[fi], h[fi], nf[fi], luma[fi] = fw, fh, fnf, fl
+            for i in np.flatnonzero(~is_fix):
+                w[i], h[i], nf[i], luma[i] = _decode_one(
+                    pdf["media_type"].iloc[i], contents[i]
+                )
             yield pd.DataFrame(
-                recs,
-                columns=["media_ref", "media_type", "width", "height", "n_frames", "mean_luma"],
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                    "mean_luma": luma,
+                }
             )
 
     return media.mapInPandas(fn, schema=DECODED_SCHEMA_DDL)
@@ -119,7 +166,13 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """content bytes → deterministic feature vector (stand-in for a real
-    embedding model; batch path shape identical to the real thing)."""
+    embedding model; batch path shape identical to the real thing).
+
+    The per-item loop is intentional: sha256 over a variable-length blob
+    (like the real per-item model forward pass it stands in for) has no
+    batch formulation — the Arrow batch boundary is where the
+    vectorization win lives (one Python invocation per thousands of rows,
+    zero-copy columnar transfer), not inside the digest."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,9 +258,13 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode kernel over the synthetic media table —
-    rows-only in the driver contract (binary payload parsing is not
-    SQL-expressible); determinism is pinned by tests/test_multimodal.py."""
+    """Arrow-batched decode kernel over the synthetic media table.
+
+    VALUE-checked in the driver contract: binary payload parsing is not
+    SQL-expressible, so the oracle is a golden parquet of the expected
+    decode records computed by the same deterministic pure-Python path
+    (frozen by scripts/regen_golden.py; determinism also pinned by
+    tests/test_multimodal.py)."""
     dec = decode_media(media_table(spark, n=200, seed=13))
     return dec.withColumn("mean_luma", F.round("mean_luma", 4))
 

@@ -49,7 +49,11 @@ def ann_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 def sign_bucket(col):
-    """LSH bucket: concatenated sign bits of the first SIGN_DIMS dims."""
+    """LSH bucket: concatenated sign bits of the first SIGN_DIMS dims.
+
+    ORACLE-CONTRACT granularity (2^4 = 16 buckets). The scale default is
+    the rp_* family below — 2^16-key md5-hyperplane signatures — because
+    a 16-bucket key degenerates joins/scans to ~N/16 per bucket."""
     bits = [
         F.when(F.element_at(col, i + 1) >= 0, "1").otherwise("0")
         for i in range(SIGN_DIMS)
@@ -84,6 +88,21 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
 
 
 N_CENTROIDS = 8
+QUANT_SCALE = 1000  # integer quantization step for cross-engine-exact keys
+
+
+def quantize(col):
+    """floor(x·QUANT_SCALE) per component → array<long>.
+
+    The foundation of cross-engine-deterministic scoring (ADVICE r1): with
+    small-integer components, dot products and squared norms are EXACT in
+    float64 in ANY summation order (every partial sum ≪ 2^53), so Spark's
+    fold and DuckDB's list_dot_product produce bit-identical values — the
+    1-ulp accumulation-order drift that can flip a round()ed score simply
+    cannot occur. floor (not round) because floor of a single IEEE multiply
+    is deterministic everywhere, with no tie-rule to match.
+    """
+    return F.transform(col, lambda x: F.floor(x * QUANT_SCALE))
 
 
 def ivf_cells(spark, sf_dir) -> DataFrame:
@@ -92,24 +111,43 @@ def ivf_cells(spark, sf_dir) -> DataFrame:
     Centroids are the deterministic seed vectors vec_id 1..N_CENTROIDS (a
     production build would k-means them; the assignment/search plan is
     identical). The centroid table is broadcast; assignment is a
-    broadcast nested-loop over N_CENTROIDS rows + windowed argmax with a
-    4-decimal rounded score and centroid-id tie-break (portable across
-    engines). At 10^12 scale the cell id becomes the partition key, so
-    probe-time search touches one cell's partitions only.
+    broadcast nested-loop over N_CENTROIDS rows + windowed argmax. At
+    10^12 scale the cell id becomes the partition key, so probe-time
+    search touches one cell's partitions only.
+
+    The assignment KEY is fully deterministic across engines: vectors and
+    centroids are integer-quantized (``quantize``), the dot product and
+    centroid norm² are exact integers, and the score qdot/sqrt(qn2) is two
+    IEEE ops (one divide, one sqrt) on identical inputs — bit-identical in
+    Spark and DuckDB, unlike the previous 4-decimal-rounded cosine whose
+    accumulation order differed per engine and could flip a cell at a
+    rounding boundary (ADVICE r1).
     """
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).withColumn("emb_d", F.col("embedding").cast("array<double>"))
-    cents = (
-        e.filter(F.col("vec_id").between(1, N_CENTROIDS))
-        .select(F.col("vec_id").alias("cid"), F.col("emb_d").alias("cemb"))
+    e = _emb(spark, sf_dir).withColumn(
+        "qv", quantize(F.col("embedding").cast("array<double>"))
+    )
+    cents = e.filter(F.col("vec_id").between(1, N_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qn2"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
-        F.round(cosine(F.col("emb_d"), F.col("cemb")), 4).alias("cs"),
+        (qdot.cast("double") / F.sqrt(F.col("qn2").cast("double"))).alias("s"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -138,12 +176,198 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
 
 
+# ---------------------------------------------------------------------------
+# scale path: k-bit random-hyperplane LSH (VERDICT r1 §2)
+#
+# The sign_bucket() family above keys on 2^SIGN_DIMS = 16 buckets — fine as
+# the portable oracle-contract setting, a scale-killer as a default (a
+# same-bucket join over N/16 members is ~N²/16 pairs at 10^12 vectors).
+# The default scale path below uses RP_BANDS bands of RP_BITS md5-derived
+# random-hyperplane sign bits each: 2^16 = 65,536 bucket keys PER BAND, so
+# the candidate join key has web-scale cardinality, with banding (like
+# minhash LSH) carrying the recall. All arithmetic is exact-integer over
+# quantize()d vectors, so signatures are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+RP_BITS = 16  # bits per band → 65,536 bucket keys per band
+RP_BANDS = 4  # collide-in-any-band recall knob (SIGMOD'12-style banding)
+RP_PROBE_DEPTHS = (16, 8)  # LSH-forest prefix depths probed at query time
+RP_MAX_BUCKET = 1000  # same bounded-bucket guard as dedup_minhash_lsh
+
+
+def _rp_planes(dim: int, n_planes: int = RP_BANDS * RP_BITS) -> list:
+    """Deterministic hyperplane matrix: component (b, i) is the first byte
+    of md5('rp:b:i') shifted to [-128, 127]. Reproducible from the same
+    md5 in SQL, so the DuckDB oracle derives the identical matrix."""
+    import hashlib
+
+    return [
+        [hashlib.md5(f"rp:{b}:{i}".encode()).digest()[0] - 128 for i in range(dim)]
+        for b in range(n_planes)
+    ]
+
+
+def _emb_dim(e: DataFrame) -> int:
+    return len(e.select("embedding").first()[0])
+
+
+def rp_signature(qcol, dim: int):
+    """'0'/'1' string of RP_BANDS·RP_BITS sign bits over the quantized
+    vector ``qcol``. Each bit = sign of an exact integer dot product
+    (components ≪ 2^53 ⇒ order-invariant), so the signature cannot drift
+    across engines or partitionings."""
+    bits = []
+    for row in _rp_planes(dim):
+        warr = F.array(*[F.lit(w) for w in row])
+        dot = F.aggregate(
+            F.zip_with(qcol, warr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _rp_sig_df(spark, sf_dir) -> DataFrame:
+    """vec_id + signature (+ kept embedding for the verify stages)."""
+    e = _emb(spark, sf_dir)
+    dim = _emb_dim(e)
+    e = e.withColumn("qv", quantize(F.col("embedding").cast("array<double>")))
+    return e.withColumn("sig", rp_signature(F.col("qv"), dim)).drop("qv")
+
+
+def _band_keys(sig_df: DataFrame, depths=(RP_BITS,)) -> DataFrame:
+    """Long-format (vec_id, band, depth, bk): one row per band per probe
+    depth — candidate generation is ONE equi-join on (band, depth, bk),
+    exactly the minhash-LSH long-format shape."""
+    rows = ", ".join(
+        f"{b}, {d}, substring(sig, {b * RP_BITS + 1}, {d})"
+        for b in range(RP_BANDS)
+        for d in depths
+    )
+    n = RP_BANDS * len(depths)
+    return sig_df.select(
+        "vec_id", F.expr(f"stack({n}, {rows}) AS (band, depth, bk)")
+    )
+
+
+def ann_rp_topk(spark, sf_dir) -> DataFrame:
+    """Approximate top-k via banded RP-LSH with prefix probing.
+
+    Stage 1 (candidates): equi-join the query's band keys against the
+    corpus band keys at each probe depth (16-bit exact bucket, then the
+    8-bit prefix — the LSH-forest pattern: shorter prefixes = coarser
+    buckets probed only as a recall fallback). The query side is ~8 rows
+    → BroadcastHashJoin; the corpus side is never self-joined and never
+    grouped on an O(1)-cardinality key.
+    Stage 2 (verify): exact cosine rerank of the distinct candidates.
+
+    At 10^12 vectors the full-depth probe touches ~N/65536 per band and
+    the corpus band-key table is the partition layout, so a probe is a
+    key-pruned lookup, not a scan.
+    """
+    sigs = _rp_sig_df(spark, sf_dir)
+    keys = _band_keys(sigs, depths=RP_PROBE_DEPTHS)
+    qk = (
+        keys.join(sigs.filter(F.col("vec_id") == 0).select("vec_id"), "vec_id")
+        .select(F.col("band").alias("q_band"), F.col("depth").alias("q_depth"), F.col("bk").alias("q_bk"))
+    )
+    cands = (
+        keys.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qk),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("depth") == F.col("q_depth"))
+            & (F.col("bk") == F.col("q_bk")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sims = (
+        e.join(cands, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("q_emb").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
+def emb_neardup_banded(spark, sf_dir, max_bucket: int | None = RP_MAX_BUCKET) -> DataFrame:
+    """Near-duplicate detection over 65k-bucket banded RP-LSH.
+
+    Candidates collide in ≥1 full-depth band; pairs expand from bounded
+    posting lists (collect_set per (band, bk), capped at ``max_bucket`` —
+    the dedup_minhash_lsh guard), then exact-cosine verify. Output keeps
+    every candidate with its verdict (is_neardup = cos ≥ NEARDUP_COS) so
+    the filter-verification accounting is visible.
+
+    Replaces emb_neardup_pairs as the scale default: the same-bucket join
+    there runs over 16 buckets (≈N²/16 pairs at web scale); here a bucket
+    key has 2^16 values per band and oversized buckets are routed out.
+    """
+    sigs = _rp_sig_df(spark, sf_dir)
+    bands = _band_keys(sigs, depths=(RP_BITS,))
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band", "depth", "bk")
+            .agg(F.count_distinct("vec_id").alias("sz"))
+            .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+            .select("band", "depth", "bk")
+        )
+        bands = bands.join(keep, ["band", "depth", "bk"])
+    pairs_expr = (
+        "flatten(transform(vs, (a, i) -> "
+        "transform(slice(vs, i + 2, size(vs)), "
+        "b -> named_struct('vec_a', a, 'vec_b', b))))"
+    )
+    pairs = (
+        bands.groupBy("band", "depth", "bk")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+        .filter(F.size("vs") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        .withColumn("nrm", _norm(F.col("emb_d")))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4
+            ).alias("cos_sim"),
+        )
+        .withColumn("is_neardup", (F.col("cos_sim") >= NEARDUP_COS).cast("int"))
+    )
+
+
 def emb_neardup_pairs(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucket-prefiltered.
 
+    ORACLE-CONTRACT variant: keys on the 16-value sign_bucket — kept for
+    the portable SIGN_DIMS=4 semantics; the production default for
+    near-dup detection is ``emb_neardup_banded`` (2^16-key banded RP-LSH),
+    which this 16-bucket same-bucket join cannot survive at 10^12 rows.
+
     Same-bucket pairs only (the LSH contract); exact cosine filter after.
-    The join key is the bucket — at scale this is a hash join on a
-    low-cardinality key with per-bucket locality, never a cross join.
 
     Norms are precomputed ONCE per vector before the pair join (the naive
     per-pair cosine re-aggregates both norms for every joined row — an

@@ -39,12 +39,47 @@ def canon(rows, colnames):
     return out
 
 
+def assert_sf_docs_extract_nothing(sf_dir: str) -> None:
+    """Explicit precondition of the flagship golden oracle: the driver's
+    filler documents must yield ZERO extractions, at EVERY sf the driver
+    may use (ADVICE r1) — otherwise tests/golden/flagship_spans.parquet
+    (fixture-only spans) would be the wrong expected output. Checked with
+    the independent SCALAR oracle, not the kernel under test."""
+    import pyarrow.parquet as pq
+
+    from astrospark.crf import CrfModel
+    from astrospark.lexicon import load_artifacts
+    from astrospark.oracle import process_document
+    from astrospark.train import WEIGHTS_PATH
+
+    vocab, trie = load_artifacts()
+    model = CrfModel.load(WEIGHTS_PATH)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_spans = 0
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        spans = process_document(
+            [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+            vocab, trie, model,
+        )
+        if spans:
+            n_spans += len(spans)
+            print(f"  !! sf doc {doc_id} extracted {len(spans)} spans")
+    assert n_spans == 0, (
+        f"{sf_dir} documents extracted {n_spans} spans — flagship golden "
+        "assumption violated; regen_golden.py must include these docs"
+    )
+    print(f"OK   flagship precondition: {t.num_rows} sf docs → 0 extractions")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
     from astrospark.engine.session import build_session
+
+    if not only or "extract_flagship" in only:
+        assert_sf_docs_extract_nothing(sf_dir)
 
     spark = build_session(app_name="contract-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
