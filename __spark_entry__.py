@@ -480,7 +480,7 @@ def oracle_sql() -> dict[str, str]:
         # changes (tests/test_reference_golden.py pins both).
         "extraction_kind_counts": (
             "SELECT 'media' AS kind, 266 AS n_spans "
-            "UNION ALL SELECT 'object' AS kind, 1783 AS n_spans"
+            "UNION ALL SELECT 'object' AS kind, 1803 AS n_spans"
         ),
         # full golden span table, computed by the SCALAR ORACLE over the
         # same deterministic fixture corpus and frozen to parquet — the
