@@ -397,3 +397,70 @@ def train_perceptron(
     ]
     avg_t = (trans - trans_acc / float(c)).astype(np.float32)
     return CrfModel(vocabs, avg_w, avg_t)
+
+
+def train_logistic(
+    sequences: list[tuple[list[np.ndarray], np.ndarray]],
+    n_iter: int = 10,
+    seed: int = 42,
+    lr: float = 0.5,
+) -> CrfModel:
+    """SECOND scorer family behind the same broadcast/decode interface.
+
+    The reference swaps its sequence scorer by config (wapiti CRF ↔ delft
+    BiLSTM, /root/reference/resources/config/grobid-astro.yaml:7-8,14-19)
+    while the calling pipeline is unchanged. This is our equivalent plug:
+    per-token multinomial logistic regression (maxent) over the SAME
+    factorized feature templates — full-batch softmax/cross-entropy
+    gradient steps, deterministic (no sampling, fixed iteration order) —
+    with the transition matrix fixed to add-1-smoothed gold-bigram
+    log-probabilities (a generative prior) instead of discriminatively
+    learned scores. The artifact is CrfModel-shaped (vocabs/weights/trans),
+    so ``emissions`` + ``viterbi_batched`` and the broadcast payload work
+    unchanged; only the training family differs.
+    """
+    del seed  # deterministic without randomness: full-batch, fixed order
+    per_seq_values: list[list[np.ndarray]] = []
+    golds: list[np.ndarray] = []
+    for cols, gold in sequences:
+        sid = np.zeros(len(gold), dtype=np.int64)
+        per_seq_values.append(template_values(cols, sid))
+        golds.append(np.asarray(gold, dtype=np.int64))
+    vocabs = build_vocabs(per_seq_values)
+    ids_all = [
+        np.concatenate(
+            [
+                np.array([vocabs[k][v] for v in vals[k]], dtype=np.int64)
+                for vals in per_seq_values
+            ]
+        )
+        for k in range(len(TEMPLATES))
+    ]
+    y = np.concatenate(golds)
+    n = len(y)
+    onehot = np.zeros((n, N_LABELS), dtype=np.float64)
+    onehot[np.arange(n), y] = 1.0
+
+    weights = [np.zeros((len(v) + 1, N_LABELS), dtype=np.float64) for v in vocabs]
+    for epoch in range(n_iter):
+        emit = np.zeros((n, N_LABELS), dtype=np.float64)
+        for k in range(len(TEMPLATES)):
+            emit += weights[k][ids_all[k]]
+        emit -= emit.max(axis=1, keepdims=True)
+        p = np.exp(emit)
+        p /= p.sum(axis=1, keepdims=True)
+        grad = (p - onehot) * (lr / (1.0 + 0.02 * epoch))
+        for k in range(len(TEMPLATES)):
+            np.subtract.at(weights[k], ids_all[k], grad)
+
+    # generative transition prior from gold bigrams (add-1 smoothing)
+    counts = np.ones((N_LABELS, N_LABELS), dtype=np.float64)
+    for g in golds:
+        if len(g) > 1:
+            np.add.at(counts, (g[:-1], g[1:]), 1.0)
+    trans = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return CrfModel(
+        vocabs,
+        [w.astype(np.float32) for w in weights],
+        trans.astype(np.float32),
+    )

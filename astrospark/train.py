@@ -21,7 +21,9 @@ import numpy as np
 import pandas as pd
 
 from astrospark import corpus as corpus_mod
-from astrospark.crf import CrfModel, train_perceptron, viterbi_single
+from astrospark.crf import CrfModel, train_logistic, train_perceptron, viterbi_single
+
+SCORERS = {"crf": train_perceptron, "logistic": train_logistic}
 from astrospark.features import compute_columns
 from astrospark.lexicon import interval_bitmap, load_artifacts, match_positions
 from astrospark.oracle import process_text_chunk
@@ -66,8 +68,15 @@ def evaluate(model: CrfModel, paras, vocab, trie) -> dict:
 
 
 def main(
-    n_paragraphs: int = 600, n_iter: int = 10, seed: int = 42, out: str | None = None
+    n_paragraphs: int = 600,
+    n_iter: int = 10,
+    seed: int = 42,
+    out: str | None = None,
+    scorer: str = "crf",
 ) -> dict:
+    """``scorer`` switches the training family behind the identical
+    artifact/decode interface (SURVEY §2.9 pluggable-scorer contract;
+    mirrors the reference's config-selected wapiti↔delft engines)."""
     vocab, trie = load_artifacts()
     paras = corpus_mod.make_corpus(n_paragraphs, seed=seed)
     n_train = int(len(paras) * 0.8)
@@ -79,7 +88,7 @@ def main(
         if seq is not None:
             sequences.append(seq)
 
-    model = train_perceptron(sequences, n_iter=n_iter, seed=seed)
+    model = SCORERS[scorer](sequences, n_iter=n_iter, seed=seed)
     if out:
         model.save(out)
     metrics = evaluate(model, eval_paras, vocab, trie)
@@ -87,8 +96,10 @@ def main(
 
 
 if __name__ == "__main__":
-    n_p = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    n_i = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
-    m = main(n_p, n_i, out=out_path)
+    args = [a for a in sys.argv[1:] if a not in SCORERS]
+    chosen = next((a for a in sys.argv[1:] if a in SCORERS), "crf")
+    n_p = int(args[0]) if len(args) > 0 else 600
+    n_i = int(args[1]) if len(args) > 1 else 10
+    out_path = args[2] if len(args) > 2 else None
+    m = main(n_p, n_i, out=out_path, scorer=chosen)
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items()})

@@ -57,6 +57,30 @@ NOTES = {
         "side); cosine arithmetic runs JVM-side in higher-order functions; "
         "TakeOrderedAndProject caps the result without a global sort."
     ),
+    "ann_rp_topk": (
+        "Scale-default ANN: 64 random-hyperplane sign bits computed "
+        "JVM-side (exact integer dots over quantized vectors), banded into "
+        "4×16-bit keys (65k buckets/band) probed at LSH-forest depths "
+        "16→8. The probe is a BroadcastHashJoin of ~8 query keys against "
+        "the corpus key table — the corpus side never self-joins and the "
+        "bucket key is never O(1)-cardinality; exact-cosine rerank only "
+        "touches the candidate set."
+    ),
+    "emb_neardup_banded": (
+        "Near-dup default at scale: full-depth 16-bit band keys → "
+        "posting-list aggregation (collect_set ≤ max_bucket=1000, "
+        "oversized boilerplate buckets routed out) → JVM-side pair "
+        "expansion → exact-cosine verify with per-vector norms computed "
+        "once. Same bounded-bucket discipline as dedup_minhash_lsh; "
+        "replaces the 16-bucket sign-LSH join (kept only as the oracle "
+        "setting in emb_neardup_pairs)."
+    ),
+    "ann_ivf_topk": (
+        "IVF probe: broadcast centroids, cell assignment via windowed "
+        "argmax over a cross-engine-deterministic integer-quantized score "
+        "(exact dot / sqrt of exact norm² — single IEEE ops, no rounded "
+        "cosine); only the query's cell is scanned at probe time."
+    ),
     "b1_boilerplate_strip": (
         "Main-content extraction is a pure projection: split + higher-order "
         "filter + join run fused on the scan output — no UDF, no shuffle, "

@@ -13,9 +13,15 @@ without the skew-split path — catches long-sequence decode drift (the
 float64 fix, commit 3f7769b, was found by this campaign) and split/rerank
 bugs.
 
+Campaign C (reference character inventory): vocab/trie built from the
+REAL astroVoc.txt (read-only) and fuzz texts drawn from its 12,926 SIMBAD
+names — exercises the delimiter-heavy identifiers ('[', '+', '.', '*',
+'(', ')', ''', '/') that a synthetic gazetteer cannot reach.
+
 Run: python scripts/fuzz_campaign.py   (exit 0 = all equal)
-Last recorded: A: 24000 docs / 114468 spans / 0 mismatches;
-B: 120 docs / 103212 spans / 0 mismatches (split and no-split).
+Last recorded (round 2, 12,926-entry default gazetteer + retrained
+weights): A: 24000 docs / 147479 spans / 0 mismatches; B: green (exit 0,
+split and no-split); C: 9000 docs / 57065 spans / 0 mismatches.
 """
 
 from __future__ import annotations
@@ -145,6 +151,46 @@ def campaign_b(vocab, trie, model, names) -> int:
     return mism
 
 
+REF_LEXICON = "/root/reference/resources/lexicon/astroVoc.txt"
+
+
+def campaign_c(model) -> int:
+    """Campaign C (reference character inventory): build vocab/trie from
+    the REAL astroVoc.txt (read-only) and fuzz kernel-vs-oracle with texts
+    drawn from its names — SIMBAD identifiers carry delimiter-set edge
+    cases a synthetic gazetteer can't reach ('[', '+', '.', '*', '(', ')',
+    ''', '/' inside names; AstroAnalyzer.java:44-54). Skipped (0) when the
+    reference tree is absent."""
+    if not os.path.exists(REF_LEXICON):
+        print("C: reference lexicon unavailable, skipped")
+        return 0
+    import pandas as pd
+
+    from astrospark.kernel import extract_batch
+    from astrospark.lexicon import build_trie, build_vocab
+
+    names = [l.rstrip("\n") for l in open(REF_LEXICON, encoding="utf-8") if l.strip()]
+    vocab, trie = build_vocab(names), build_trie(names)
+    rng = random.Random(777)
+    mism = spans_total = 0
+    n, batch = 9000, 3000
+    for b0 in range(0, n, batch):
+        docs = [_rand_doc(rng, names, i) for i in range(b0, b0 + batch)]
+        out = extract_batch(pd.DataFrame(docs), vocab, trie, model)
+        spans_total += len(out)
+        by_doc = {k: g for k, g in out.groupby("doc_id", sort=False)}
+        for d in docs:
+            g = by_doc.get(d["doc_id"])
+            got = [] if g is None else [
+                (int(a), b, c, m, int(e))
+                for a, b, c, m, e in zip(g["seq"], g["kind"], g["text"], g["media_ref"], g["offset"])
+            ]
+            if got != _want(d, vocab, trie, model):
+                mism += 1
+    print(f"C: {n} docs (reference-lexicon names), {spans_total} spans, {mism} mismatches")
+    return mism
+
+
 def main() -> int:
     from astrospark.crf import CrfModel
     from astrospark.lexicon import load_artifacts, load_names
@@ -153,7 +199,12 @@ def main() -> int:
     vocab, trie = load_artifacts()
     model = CrfModel.load(WEIGHTS_PATH)
     names = load_names()
-    return 1 if (campaign_a(vocab, trie, model, names) + campaign_b(vocab, trie, model, names)) else 0
+    total = (
+        campaign_a(vocab, trie, model, names)
+        + campaign_b(vocab, trie, model, names)
+        + campaign_c(model)
+    )
+    return 1 if total else 0
 
 
 if __name__ == "__main__":
