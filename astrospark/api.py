@@ -28,14 +28,29 @@ from astrospark.engine.extraction import (
 
 
 class AstroEngine:
+    """``spark`` is created LAZILY: the single-request path
+    (``process_text``, the service endpoint) runs the kernel driver-side
+    and must not pay a JVM spin-up; the session + broadcast materialize on
+    the first cluster-scale call."""
+
     def __init__(self, spark: SparkSession | None = None, artifacts=None):
-        if spark is None:
+        self._spark = spark
+        self._bcast = None
+        self.artifacts = artifacts or load_default_artifacts()
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
             from astrospark.engine.session import build_session
 
-            spark = build_session()
-        self.spark = spark
-        self.artifacts = artifacts or load_default_artifacts()
-        self.bcast = broadcast_artifacts(spark, self.artifacts)
+            self._spark = build_session()
+        return self._spark
+
+    @property
+    def bcast(self):
+        if self._bcast is None:
+            self._bcast = broadcast_artifacts(self.spark, self.artifacts)
+        return self._bcast
 
     # -- single request (driver-side, no cluster round-trip) ---------------
 
