@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sign_bucket queries above stay as the 16-bucket oracle setting)
         "ann_rp_topk": similarity.ann_rp_topk,
         "emb_neardup_banded": similarity.emb_neardup_banded,
+        "knn_join": similarity.knn_join,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
     }
 
 
@@ -363,6 +365,67 @@ def _rp_neardup_sql() -> str:
     )
 
 
+def _knn_join_sql() -> str:
+    from astrospark.ops.similarity import KNN_K, RP_BANDS, RP_BITS, RP_PROBE_DEPTHS
+
+    bands = ", ".join(f"({b})" for b in range(RP_BANDS))
+    depths = ", ".join(f"({d})" for d in RP_PROBE_DEPTHS)
+    return (
+        "WITH " + _rp_ctes() + ", "
+        f"bk AS (SELECT vec_id, band, depth, substr(s, band * {RP_BITS} + 1, depth) AS bk "
+        f"FROM sig, (VALUES {bands}) bands(band), (VALUES {depths}) ds(depth)), "
+        "cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id FROM bk a "
+        "JOIN bk b ON a.band = b.band AND a.depth = b.depth AND a.bk = b.bk "
+        "AND a.vec_id <> b.vec_id), "
+        "scored AS (SELECT c.vec_id, c.neighbor_id, "
+        "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos_sim "
+        "FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = c.neighbor_id), "
+        "r AS (SELECT vec_id, neighbor_id, cos_sim, CAST(row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk "
+        "FROM scored) "
+        f"SELECT vec_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {KNN_K}"
+    )
+
+
+def _simhash64_pairs_sql() -> str:
+    from astrospark.ops.dedup import HAMMING_MAX, SIMHASH64_BANDS
+
+    nib = [
+        f"(instr('0123456789abcdef', substr(md5(word), {i + 1}, 1)) - 1) AS nib_{i}"
+        for i in range(16)
+    ]
+    sums = [
+        f"SUM(((nib_{i} & {1 << b}) > 0)::INT * 2 - 1) AS s_{i * 4 + b}"
+        for i in range(16)
+        for b in range(4)
+    ]
+    band_cols = []
+    for bd in range(SIMHASH64_BANDS):
+        expr = " + ".join(
+            f"CASE WHEN s_{bd * 16 + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        band_cols.append(f"CAST({expr} AS INT) AS band_{bd}")
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, band_{b} AS v FROM sig" for b in range(SIMHASH64_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.band_{b}, sb.band_{b}))" for b in range(SIMHASH64_BANDS)
+    )
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
+        "n AS (SELECT doc_id, " + ", ".join(nib) + " FROM w), "
+        "a AS (SELECT doc_id, " + ", ".join(sums) + " FROM n GROUP BY doc_id), "
+        "sig AS (SELECT doc_id, " + ", ".join(band_cols) + " FROM a), "
+        "bands AS (" + band_union + "), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bands l JOIN bands r ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id) "
+        f"SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming "
+        "FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b "
+        f"WHERE {ham} <= {HAMMING_MAX}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from astrospark.ops.similarity import NEARDUP_COS, SIGN_DIMS
 
@@ -529,6 +592,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_sql(),
         "ann_rp_topk": _rp_topk_sql(),
         "emb_neardup_banded": _rp_neardup_sql(),
+        "knn_join": _knn_join_sql(),
+        "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

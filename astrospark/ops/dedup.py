@@ -265,6 +265,103 @@ def minhash_lsh_with_stats(spark, sf_dir, max_bucket: int = MAX_BUCKET_DEFAULT):
     return pairs, dropped
 
 
+SIMHASH64_BANDS = 4  # 4 bands × 16 bits → 65,536 bucket keys per band
+HAMMING_MAX = 3
+
+
+def _simhash64_bands(d: DataFrame) -> DataFrame:
+    """doc_id + 4 × 16-bit SimHash band values (the 64-bit fingerprint,
+    stored banded so the band value IS the LSH bucket key).
+
+    Same portable construction as ``simhash16`` extended to 64 bits: bit k
+    of the fingerprint = sign of Σ over words of ±1 from bit k of the
+    word's md5 (nibbles 0..15 = md5 hex chars 1..16) — identical
+    arithmetic in Spark SQL and DuckDB.
+    """
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = F.md5("word")
+    hexmap = "0123456789abcdef"
+    nibbles = [
+        (F.instr(F.lit(hexmap), F.substring(h, i + 1, 1)) - 1).alias(f"nib_{i}")
+        for i in range(16)
+    ]
+    w = w.select("doc_id", *nibbles)
+    bit_sums = []
+    for i in range(16):
+        for b in range(4):
+            bit = (F.col(f"nib_{i}").bitwiseAND(F.lit(1 << b)) > 0).cast("int")
+            bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i * 4 + b}"))
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    bands = []
+    for bd in range(SIMHASH64_BANDS):
+        val = None
+        for j in range(16):
+            k = bd * 16 + j
+            bit_val = F.when(F.col(f"s_{k}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = bit_val if val is None else val + bit_val
+        bands.append(val.cast("int").alias(f"band_{bd}"))
+    return agg.select("doc_id", *bands)
+
+
+def dedup_simhash_pairs(spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAULT) -> DataFrame:
+    """Near-dup pairs by 64-bit banded SimHash (hamming ≤ HAMMING_MAX).
+
+    The classic web-dedup recipe (Charikar simhash + Manku et al.'s
+    banded tables): a pair within hamming distance 3 of a 64-bit
+    fingerprint must agree EXACTLY on at least one of 4 16-bit bands, so
+    candidate generation is a posting-list expansion per (band, value)
+    bucket — 2^16 keys per band, never all-pairs — and the verify step is
+    4 xor+popcounts per candidate. Bounded buckets as everywhere
+    (``max_bucket``); ``simhash16`` remains the compact oracle variant.
+    """
+    d = _docs(spark, sf_dir)
+    sig = _simhash64_bands(d).persist()
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            "stack({n}, {rows}) AS (band_id, bv)".format(
+                n=SIMHASH64_BANDS,
+                rows=", ".join(f"{b}, band_{b}" for b in range(SIMHASH64_BANDS)),
+            )
+        ),
+    )
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band_id", "bv")
+            .agg(F.count_distinct("doc_id").alias("sz"))
+            .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+            .select("band_id", "bv")
+        )
+        bands = bands.join(keep, ["band_id", "bv"])
+    pairs = (
+        bands.groupBy("band_id", "bv")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band_{b}").alias(f"a_{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band_{b}").alias(f"b_{b}") for b in range(SIMHASH64_BANDS)],
+    )
+    ham = None
+    for b in range(SIMHASH64_BANDS):
+        t = F.bit_count(F.col(f"a_{b}").bitwiseXOR(F.col(f"b_{b}")))
+        ham = t if ham is None else ham + t
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash16(spark, sf_dir) -> DataFrame:
     """Portable 16-bit SimHash over word tokens.
 

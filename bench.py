@@ -32,6 +32,8 @@ OPS_QUERIES = (
     "simhash16",
     "ann_cosine_topk",
     "emb_neardup_pairs",
+    "ann_rp_topk",
+    "emb_neardup_banded",
     "r1_pricing_summary",
     "r2_segment_revenue",
 )

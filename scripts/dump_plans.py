@@ -75,6 +75,20 @@ NOTES = {
         "replaces the 16-bucket sign-LSH join (kept only as the oracle "
         "setting in emb_neardup_pairs)."
     ),
+    "knn_join": (
+        "Whole-table approximate k-NN self-join (semantic-dedup "
+        "workhorse): banded RP-LSH keys at depths 16+8 equi-self-joined "
+        "with the bounded-bucket guard (max_bucket=1000), exact-cosine "
+        "verify, per-vector rank window. The shuffle key is the "
+        "2^16-cardinality band key; no cross product, no all-pairs."
+    ),
+    "dedup_simhash_pairs": (
+        "Manku-style web dedup: 64-bit SimHash split into 4×16-bit bands "
+        "(hamming≤3 ⇒ ≥1 exact band collision), posting-list candidate "
+        "expansion per 65k-key band bucket, xor+popcount verify — all "
+        "JVM-side integer arithmetic, one aggregation over exploded "
+        "words with map-side partial sums."
+    ),
     "ann_ivf_topk": (
         "IVF probe: broadcast centroids, cell assignment via windowed "
         "argmax over a cross-engine-deterministic integer-quantized score "

@@ -116,40 +116,65 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{n_docs}.json"), "w") as fh:
         json.dump(result, fh, indent=2)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(
-            "# BENCH/BASELINE — scaling evidence (north rule)\n\n"
-            "Same extraction job, same input corpus "
-            f"({r_lo['n_docs']} interleaved docs, {r_lo['n_spans']} output spans), "
-            "at N and 4N cores (sandbox stand-in for N vs 4N executors per "
-            "BASELINE.json / SURVEY.md §6):\n\n"
+    write_baseline_md()
+
+
+def write_baseline_md() -> None:
+    """Compose BENCH/BASELINE.md from every recorded scaling_*.json —
+    one evidence block per corpus size (the corpus-growth axis shows the
+    efficiency holds as broadcast + shuffle sizes grow)."""
+    import glob
+
+    bench = os.path.join(REPO, "BENCH")
+    runs = []
+    for p in sorted(glob.glob(os.path.join(bench, "scaling_*.json"))):
+        with open(p) as fh:
+            runs.append(json.load(fh))
+    runs.sort(key=lambda r: r["n_lo"]["n_docs"])
+    blocks = []
+    for r in runs:
+        lo, hi, r32 = r["n_lo"], r["n_hi"], r["n32"]
+        blocks.append(
+            f"## Corpus: {lo['n_docs']:,} interleaved docs "
+            f"({lo['n_spans']:,} output spans)\n\n"
             "| parallelism | best wall (s) | docs/sec | docs/sec/core |\n|---|---|---|---|\n"
-            f"| local[{r_lo['cpus']}] (N) | {r_lo['best_sec']} | {r_lo['docs_per_sec']} | "
-            f"{round(r_lo['docs_per_sec']/r_lo['cpus'],1)} |\n"
-            f"| local[{r_hi['cpus']}] (4N) | {r_hi['best_sec']} | {r_hi['docs_per_sec']} | "
-            f"{round(r_hi['docs_per_sec']/r_hi['cpus'],1)} |\n"
+            f"| local[{lo['cpus']}] (N) | {lo['best_sec']} | {lo['docs_per_sec']} | "
+            f"{round(lo['docs_per_sec']/lo['cpus'],1)} |\n"
+            f"| local[{hi['cpus']}] (4N) | {hi['best_sec']} | {hi['docs_per_sec']} | "
+            f"{round(hi['docs_per_sec']/hi['cpus'],1)} |\n"
             f"| local[32] (context) | {r32['best_sec']} | {r32['docs_per_sec']} | "
             f"{round(r32['docs_per_sec']/32,1)} |\n\n"
-            f"**Scaling efficiency (N→4N) = {result['scaling_efficiency']}** (target ≥ 0.8).\n\n"
-            "## Why N=2: this sandbox's vCPUs are oversubscribed\n\n"
+            f"**Scaling efficiency (N→4N) = {r['scaling_efficiency']}** (target ≥ 0.8). "
+            "Identical span counts at every parallelism level "
+            "(determinism invariant).\n\n"
+            "CPU-control counts (6s, k procs): "
+            + ", ".join(f"{k}→{v}" for k, v in sorted(r["cpu_control_counts"].items(), key=lambda kv: int(kv[0])))
+            + f"; host 8→32 control efficiency {r['cpu_control_eff_8_to_32']}.\n"
+        )
+    with open(os.path.join(bench, "BASELINE.md"), "w") as fh:
+        fh.write(
+            "# BENCH/BASELINE — scaling evidence (north rule)\n\n"
+            "Same extraction job, same input corpus, at N and 4N cores "
+            "(sandbox stand-in for N vs 4N executors per BASELINE.json / "
+            "SURVEY.md §6). All rows measured with the DEFAULT artifacts "
+            "(12,926-entry gazetteer + retrained weights, round 2).\n\n"
+            + "\n".join(blocks)
+            + "\n## Why N=2: this sandbox's vCPUs are oversubscribed\n\n"
             "A pure-CPU control (python integer loop, no Spark, no memory "
             "traffic) in k independent processes measures the HOST's own "
-            "scaling ceiling:\n\n"
-            "| procs | total iterations (6s) |\n|---|---|\n"
-            + "".join(f"| {k} | {v} |\n" for k, v in sorted(ctrl.items()))
-            + (
-                f"\nThe host itself only scales {result['cpu_control_eff_8_to_32']}"
-                "×(ideal) from 8→32 procs — no workload can evidence ≥0.8 "
-                "there. 2→8 is hardware-clean (control ≈0.95), so that is the "
-                "honest 4× window on this machine. On a real 4N-executor "
-                "cluster each executor owns its cores, which is the regime "
-                "the 2→8 window models.\n\n"
-            )
-            + "Throughput is best-of-2 after a full warmup pass (worker "
-            "spin-up and broadcast fetch are one-time per executor). "
-            "Reproduce: `python scripts/scaling_bench.py`.\n"
+            "scaling ceiling: the host itself only scales ~0.8×(ideal) "
+            "from 8→32 procs — no workload can evidence ≥0.8 there. 2→8 "
+            "is hardware-clean (control ≈0.95), so that is the honest 4× "
+            "window on this machine. On a real 4N-executor cluster each "
+            "executor owns its cores, which is the regime the 2→8 window "
+            "models.\n\n"
+            "Throughput is best-of-2 per child after a full warmup pass "
+            "(worker spin-up and broadcast fetch are one-time per "
+            "executor), two interleaved children per level (host "
+            "contention drifts on the minutes scale). Reproduce: "
+            "`python scripts/scaling_bench.py [n_docs]`.\n"
         )
 
 

@@ -101,6 +101,22 @@ def test_rp_plans_no_cross_product(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_knn_and_simhash_pair_plans(spark):
+    """kNN self-join and banded-SimHash pairs: candidate generation is
+    equi-join / posting-list shaped — no cross product anywhere, and both
+    carry the bounded-bucket guard."""
+    import inspect
+
+    from astrospark.ops.dedup import dedup_simhash_pairs
+    from astrospark.ops.similarity import knn_join
+
+    for fn in (knn_join, dedup_simhash_pairs):
+        assert inspect.signature(fn).parameters["max_bucket"].default == 1000
+        plan = plan_of(fn(spark, SF_DIR), mode="simple")
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_rp_signature_matches_numpy_oracle(spark):
     """Spark-side signatures equal an independent numpy recomputation
     (exact integer arithmetic ⇒ no accumulation-order drift)."""
