@@ -185,6 +185,12 @@ class CrfModel:
                 shifted[key] = shift_codes(codes[c], seq_ids, d)
             return shifted[key]
 
+        # one reusable (n, L) float32 gather buffer for ALL single-col
+        # templates — 52 per-template temp allocations (6+ MB each) were
+        # ~45% of the single-template path (malloc + page faults), and
+        # np.take(out=) + in-place += is bit-identical to the allocating
+        # form (same values, same float64 accumulation order)
+        tmp = np.empty((n, N_LABELS), dtype=np.float32)
         for k, (_name, spec) in enumerate(TEMPLATES):
             vocab = self.vocabs[k]
             w = self.weights[k]
@@ -198,7 +204,10 @@ class CrfModel:
                 lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
                 # gather weights into a per-batch small table first: the
                 # big-n gather then hits a cache-resident (u+1, L) array
-                scores += w[lut][sc]
+                # (negative boundary codes index the appended last row —
+                # np.take supports them exactly like fancy indexing)
+                np.take(w[lut], sc, axis=0, out=tmp)
+                scores += tmp
             else:
                 # combine component codes into one integer key, dedupe, and
                 # build observation strings only for the unique combos

@@ -226,16 +226,18 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
         cluster_first = np.empty(0, dtype=np.int64)
         has_obj_unit = set()
 
-    # group clusters per unit
-    ci = 0
-    n_clusters = len(cluster_first)
-    for ui in range(len(unit_texts)):
-        # advance over clusters of this unit
-        first_list: list[int] = []
-        while ci < n_clusters and elig_unit[cluster_first[ci]] == ui:
-            first_list.append(cluster_first[ci])
-            ci += 1
-        if ui not in has_obj_unit or not first_list:
+    # group clusters per unit — cf_units is nondecreasing, so each obj
+    # unit's cluster slice comes from two binary searches; units without
+    # object labels (the vast majority on real corpora) are never visited
+    # (the previous linear advance walked every cluster of every unit)
+    cf_units = (
+        elig_unit[cluster_first] if len(cluster_first) else np.empty(0, dtype=np.int64)
+    )
+    for ui in sorted(has_obj_unit):
+        lo = int(np.searchsorted(cf_units, ui, side="left"))
+        hi = int(np.searchsorted(cf_units, ui, side="right"))
+        first_list = cluster_first[lo:hi]
+        if not len(first_list):
             continue
         text = unit_texts[ui]
         base = unit_base[ui]
