@@ -236,7 +236,8 @@ class CrfModel:
                     svals = part if svals is None else svals + SEP + part
                 lut = self._vocab_index(k).get_indexer(svals)
                 lut[lut < 0] = oov
-                scores += w[lut][inv]
+                np.take(w[lut], inv, axis=0, out=tmp)  # same buffer reuse
+                scores += tmp
         return scores
 
 
