@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_banded": similarity.emb_neardup_banded,
         "knn_join": similarity.knn_join,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
     }
 
 
@@ -426,6 +427,58 @@ def _simhash64_pairs_sql() -> str:
     )
 
 
+def _ivf_kmeans_sql() -> str:
+    """Unrolled deterministic Lloyd k-means (KM_ITERS fixed steps) — every
+    intermediate is exact-integer or a single IEEE op, so the iteration
+    replays bit-for-bit against the Spark implementation."""
+    from astrospark.ops.similarity import KM_ITERS, N_CENTROIDS, QUANT_SCALE, TOP_K
+
+    ctes = [
+        "dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)",
+        "qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {QUANT_SCALE})) AS q FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, q AS qc FROM qv WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})",
+    ]
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        a, u, c = f"a{it}", f"u{it}", f"c{it}"
+        ctes.append(
+            f"{a} AS (SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM "
+            "(SELECT v.vec_id, c.cid, list_dot_product(v.q, c.qc) / "
+            f"sqrt(list_dot_product(c.qc, c.qc)) AS s FROM qv v, {prev} c))"
+        )
+        ctes.append(
+            f"{u} AS (SELECT a.cid, p.i, floor(avg(v.q[p.i])) AS comp FROM "
+            f"(SELECT vec_id, cid FROM {a} WHERE rn = 1) a JOIN qv v USING (vec_id), "
+            "(SELECT unnest(generate_series(1, dim)) AS i FROM dims) p "
+            "GROUP BY a.cid, p.i)"
+        )
+        ctes.append(
+            f"{c} AS (SELECT {prev}.cid, coalesce(nu.qc_new, {prev}.qc) AS qc "
+            f"FROM {prev} LEFT JOIN (SELECT cid, list(comp ORDER BY i) AS qc_new "
+            f"FROM {u} GROUP BY cid) nu USING (cid))"
+        )
+        prev = c
+    ctes.append(
+        "fa AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM "
+        "(SELECT v.vec_id, c.cid, list_dot_product(v.q, c.qc) / "
+        f"sqrt(list_dot_product(c.qc, c.qc)) AS s FROM qv v, {prev} c))"
+    )
+    ctes.append("cell AS (SELECT vec_id, cid FROM fa WHERE rn = 1)")
+    ctes.append("qq AS (SELECT cid FROM cell WHERE vec_id = 0)")
+    ctes.append("qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], "
+        "qe.q_emb::DOUBLE[]), 4) AS cos_sim "
+        "FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id, qq, qe "
+        "WHERE cell.cid = qq.cid AND e.vec_id <> 0 "
+        f"ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from astrospark.ops.similarity import NEARDUP_COS, SIGN_DIMS
 
@@ -594,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_banded": _rp_neardup_sql(),
         "knn_join": _knn_join_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
+        "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

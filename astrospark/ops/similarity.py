@@ -158,6 +158,125 @@ def ivf_cells(spark, sf_dir) -> DataFrame:
     )
 
 
+KM_ITERS = 2
+
+
+def kmeans_centroids(spark, sf_dir, iters: int = KM_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means over the integer-quantized vectors —
+    the production coarse quantizer for IVF (ivf_cells' seed-vector
+    centroids are the plan-identical stand-in; this trains them).
+
+    Every step is cross-engine exact: assignment uses the same
+    qdot/sqrt(qn2) deterministic score as ivf_cells; the update is a
+    per-dimension avg of small integers (exact long sums → one IEEE
+    divide) floored back to integers, so the DuckDB oracle replays the
+    whole iteration bit-for-bit (unrolled CTEs). Cells that lose all
+    members keep their previous centroid (left-join coalesce). Fixed
+    ``iters`` (no convergence test) keeps the computation a static plan.
+
+    Scale shape: per iteration ONE broadcast join (8 centroids) + ONE
+    aggregation keyed by cell with map-side partial avg — the standard
+    Spark k-means step; vectors never shuffle against each other.
+    """
+    e = _emb(spark, sf_dir).withColumn(
+        "qv", quantize(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", "qv")
+    dim = _emb_dim(_emb(spark, sf_dir))
+    cents = e.filter(F.col("vec_id").between(1, N_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qc")
+    )
+    qn2 = F.aggregate(
+        F.transform(F.col("qc"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    for _ in range(iters):
+        scored = e.crossJoin(F.broadcast(cents.withColumn("qn2", qn2))).select(
+            "vec_id",
+            "cid",
+            "qv",
+            (qdot.cast("double") / F.sqrt(F.col("qn2").cast("double"))).alias("s"),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"), "qv")
+        )
+        upd = assign.groupBy(F.col("cell").alias("cid")).agg(
+            F.array(
+                *[
+                    F.floor(F.avg(F.element_at("qv", i + 1))).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("qc_new")
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce("qc_new", "qc").alias("qc"))
+        )
+    return cents
+
+
+def ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
+    """IVF probe against k-means-trained centroids (nprobe=1): assign
+    every vector with the deterministic integer score, then exact-cosine
+    rerank inside the query's cell only."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).withColumn(
+        "qv", quantize(F.col("embedding").cast("array<double>"))
+    )
+    cents = kmeans_centroids(spark, sf_dir)
+    qn2 = F.aggregate(
+        F.transform(F.col("qc"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    cells = (
+        e.crossJoin(F.broadcast(cents.withColumn("qn2", qn2)))
+        .select(
+            "vec_id",
+            "cid",
+            (qdot.cast("double") / F.sqrt(F.col("qn2").cast("double"))).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    v = e.join(cells, "vec_id")
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    cands = v.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("cell") == F.col("q_cell")
+    )
+    sims = cands.select(
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("q_emb").cast("array<double>"),
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
+
+
 def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     """IVF probe: search only the query vector's cell (nprobe=1)."""
     e = _emb(spark, sf_dir)

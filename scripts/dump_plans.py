@@ -89,6 +89,14 @@ NOTES = {
         "JVM-side integer arithmetic, one aggregation over exploded "
         "words with map-side partial sums."
     ),
+    "ann_ivf_kmeans_topk": (
+        "Production IVF: centroids TRAINED by deterministic Lloyd k-means "
+        "(fixed iterations; per step one 8-row broadcast join + one "
+        "cell-keyed aggregation with map-side partial avg — vectors never "
+        "shuffle against each other), then the same integer-exact "
+        "assignment and single-cell probe. The whole iteration replays "
+        "bit-for-bit in the DuckDB oracle (unrolled CTEs)."
+    ),
     "ann_ivf_topk": (
         "IVF probe: broadcast centroids, cell assignment via windowed "
         "argmax over a cross-engine-deterministic integer-quantized score "

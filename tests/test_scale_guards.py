@@ -117,6 +117,26 @@ def test_knn_and_simhash_pair_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_kmeans_centroids_train_and_stay_deterministic(spark):
+    """Lloyd refinement actually moves the seed centroids, keeps exactly
+    N_CENTROIDS of them (empty cells inherit), and is reproducible
+    run-to-run (the cross-engine-deterministic arithmetic contract)."""
+    from astrospark.ops.similarity import N_CENTROIDS, kmeans_centroids, quantize
+    from pyspark.sql import functions as F
+
+    cents = {r.cid: list(r.qc) for r in kmeans_centroids(spark, SF_DIR).collect()}
+    assert len(cents) == N_CENTROIDS
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("qv", quantize(F.col("embedding").cast("array<double>")))
+    )
+    seeds = {r.vec_id: list(r.qv) for r in e.filter(F.col("vec_id").between(1, N_CENTROIDS)).collect()}
+    moved = sum(cents[cid] != seeds[cid] for cid in cents)
+    assert moved >= N_CENTROIDS // 2  # training refined most centroids
+    again = {r.cid: list(r.qc) for r in kmeans_centroids(spark, SF_DIR).collect()}
+    assert again == cents
+
+
 def test_rp_signature_matches_numpy_oracle(spark):
     """Spark-side signatures equal an independent numpy recomputation
     (exact integer arithmetic ⇒ no accumulation-order drift)."""
