@@ -78,8 +78,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from astrospark.ops import dedup, events, multimodal, relational, similarity, text
 
     return {
-        # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — non-SQL ops,
-        # rows-only here; span-exactness is gated by the pytest oracle suite
+        # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — not
+        # SQL-expressible, but still VALUE-checked: the oracles are golden
+        # parquet span tables computed by the scalar oracle (see
+        # oracle_sql entries + module docstring); changing span output
+        # requires scripts/regen_golden.py
         "extract_flagship": _extract_documents,
         "extract_interleaved": _extract_interleaved,
         "extraction_kind_counts": _extraction_kind_counts,
@@ -129,9 +132,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale-default RP-LSH family (65,536 bucket keys per band; the
         # sign_bucket queries above stay as the 16-bucket oracle setting)
         "ann_rp_topk": similarity.ann_rp_topk,
-        "emb_neardup_banded": similarity.emb_neardup_banded,
-        "knn_join": similarity.knn_join,
-        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        # max_bucket=None pins exhaustive pair semantics for the oracles
+        # (same reason as dedup_minhash_lsh above: the DuckDB twins
+        # enumerate pairs exhaustively, and a >max_bucket LSH bucket in
+        # some future sf corpus would silently diverge otherwise); the
+        # library DEFAULTS stay bounded
+        "emb_neardup_banded": lambda spark, sf_dir: similarity.emb_neardup_banded(
+            spark, sf_dir, max_bucket=None
+        ),
+        "knn_join": lambda spark, sf_dir: similarity.knn_join(
+            spark, sf_dir, max_bucket=None
+        ),
+        "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
+            spark, sf_dir, max_bucket=None
+        ),
         "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
     }
 

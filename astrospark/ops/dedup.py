@@ -161,6 +161,23 @@ def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
 MAX_BUCKET_DEFAULT = 1000
 
 
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """Long-format (doc_id, band_id, bk) LSH band keys from a signature
+    DataFrame — the ONE derivation both the pairs path and the
+    dropped-bucket accounting consume (a drift between two copies would
+    make the accounting disagree with what was actually dropped)."""
+    n_bands = MINHASH_SEEDS // BAND_SIZE
+    band_exprs = ", ".join(
+        "'b{b}', md5(concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
+        )
+        for b in range(n_bands)
+    )
+    return sig.select(
+        "doc_id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band_id, bk)")
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAULT) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard.
 
@@ -186,16 +203,7 @@ def dedup_minhash_lsh(spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAULT
     """
     d = _docs(spark, sf_dir)
     sig = minhash_signature(d).persist()
-    n_bands = MINHASH_SEEDS // BAND_SIZE
-    band_exprs = ", ".join(
-        "'b{b}', md5(concat_ws('|', {cols}))".format(
-            b=b, cols=", ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
-        )
-        for b in range(n_bands)
-    )
-    bands = sig.select(
-        "doc_id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band_id, bk)")
-    )
+    bands = _minhash_bands(sig)
     # posting-list candidate generation: one aggregation per (band, key)
     # bucket, pairs expanded from the sorted member list — the shuffle
     # carries each doc_id once per band, not once per candidate pair as a
@@ -245,18 +253,9 @@ def minhash_lsh_with_stats(spark, sf_dir, max_bucket: int = MAX_BUCKET_DEFAULT):
     ``dedup_exact``, not a loss the operator hides.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir, max_bucket=max_bucket)
-    d = _docs(spark, sf_dir)
-    sig = minhash_signature(d)
-    n_bands = MINHASH_SEEDS // BAND_SIZE
-    band_exprs = ", ".join(
-        "'b{b}', md5(concat_ws('|', {cols}))".format(
-            b=b, cols=", ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
-        )
-        for b in range(n_bands)
-    )
-    bands = sig.select(
-        "doc_id", F.expr(f"stack({n_bands}, {band_exprs}) AS (band_id, bk)")
-    )
+    # the signature is persisted by dedup_minhash_lsh, so this bands
+    # derivation reuses the cached signature rather than recomputing it
+    bands = _minhash_bands(minhash_signature(_docs(spark, sf_dir)))
     dropped = (
         bands.groupBy("band_id", "bk")
         .agg(F.count_distinct("doc_id").alias("sz"))

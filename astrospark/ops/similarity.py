@@ -361,7 +361,12 @@ def _rp_sig_df(spark, sf_dir) -> DataFrame:
         w = H.shape[0]
         return pd.Series([raw[i * w : (i + 1) * w].decode() for i in range(len(emb))])
 
-    return e.withColumn("sig", sig_udf(F.col("embedding")))
+    # persisted: every consumer (ann_rp_topk, emb_neardup_banded,
+    # knn_join) references the signature column from 2-3 plan branches,
+    # and Spark recomputes shared lineage per branch — without the persist
+    # the full-corpus signature UDF (the dominant stage at scale) would
+    # run once per branch, like the signature persist in dedup_minhash_lsh
+    return e.withColumn("sig", sig_udf(F.col("embedding"))).persist()
 
 
 def _band_keys(sig_df: DataFrame, depths=(RP_BITS,)) -> DataFrame:

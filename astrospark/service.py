@@ -59,6 +59,11 @@ def make_handler(engine: AstroEngine):
             if self.path != "/processAstroText":
                 self._send(404, {"error": "unknown path"})
                 return
+            if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+                # body framing we don't read — reject instead of silently
+                # answering 204 with the body left unconsumed on the socket
+                self._send(411, {"error": "chunked transfer not supported; send Content-Length"})
+                return
             n = int(self.headers.get("Content-Length", "0"))
             raw = self.rfile.read(n).decode("utf-8", "replace")
             ctype = self.headers.get("Content-Type", "")

@@ -32,8 +32,9 @@ sys.path.insert(0, {repo!r})
 from astrospark.engine.session import build_session
 from astrospark.engine.extraction import broadcast_artifacts, extract_spans
 cpus = {cpus}
+from astrospark.engine.session import ARROW_BATCH_ROWS
 spark = build_session(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                      shuffle_partitions=max(cpus, 8), arrow_batch_rows=2048)
+                      shuffle_partitions=max(cpus, 8), arrow_batch_rows=ARROW_BATCH_ROWS)
 docs = spark.read.parquet({docs_path!r})
 bcast = broadcast_artifacts(spark)
 n_docs = docs.count()
@@ -103,6 +104,11 @@ def main() -> None:
     r_lo = best(r_lo, run_engine(n_lo, docs_path))
     r_hi = best(r_hi, run_engine(n_hi, docs_path))
     r32 = r_hi if n_hi == 32 else run_engine(32, docs_path)
+    # the determinism invariant BASELINE.md asserts must be checked, not
+    # just claimed: identical span counts at every parallelism level
+    assert r_lo["n_spans"] == r_hi["n_spans"] == r32["n_spans"], (
+        r_lo["n_spans"], r_hi["n_spans"], r32["n_spans"],
+    )
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (n_hi / n_lo)
     ctrl_eff_8_32 = (ctrl[32] / ctrl[8]) / 4 if 8 in ctrl and 32 in ctrl else None
     result = {
