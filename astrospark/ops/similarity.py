@@ -330,6 +330,9 @@ def _rp_planes(dim: int, n_planes: int = RP_BANDS * RP_BITS) -> list:
 
 
 def _emb_dim(e: DataFrame) -> int:
+    """Embedding dimensionality — one tiny first() driver job per query
+    build (the parquet schema doesn't carry list lengths, and caching by
+    schema would wrongly collide across datasets)."""
     return len(e.select("embedding").first()[0])
 
 
