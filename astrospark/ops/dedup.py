@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from astrospark.ops.caching import scoped_persist
+
 MAX_DF = 20  # rare-shingle cutoff for the jaccard self-join
 MINHASH_SEEDS = 16
 BAND_SIZE = 4
@@ -97,18 +99,22 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sh = _shingles(d, dedup=False).repartition(n_part, "shingle").persist()
+    # scoped_persist: consumed by BOTH the df-count pass and the posting
+    # pass; released by the caller via ops.caching.release_caches() (at
+    # 10^12 rows this stream would go to a DISK_ONLY level or a
+    # materialized table — block-manager memory is the wrong home for a
+    # corpus-sized exploded shingle stream)
+    sh = scoped_persist(_shingles(d, dedup=False).repartition(n_part, "shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") <= MAX_DF)
         .select("shingle")
     )
-    posting = (
+    posting = scoped_persist(
         sh.join(rare, "shingle")
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .persist()
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
@@ -202,7 +208,7 @@ def dedup_minhash_lsh(spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAULT
     setting, pinned explicitly in __spark_entry__.queries()).
     """
     d = _docs(spark, sf_dir)
-    sig = minhash_signature(d).persist()
+    sig = scoped_persist(minhash_signature(d))
     bands = _minhash_bands(sig)
     # posting-list candidate generation: one aggregation per (band, key)
     # bucket, pairs expanded from the sorted member list — the shuffle
@@ -314,7 +320,7 @@ def dedup_simhash_pairs(spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAU
     (``max_bucket``); ``simhash16`` remains the compact oracle variant.
     """
     d = _docs(spark, sf_dir)
-    sig = _simhash64_bands(d).persist()
+    sig = scoped_persist(_simhash64_bands(d))
     bands = sig.select(
         "doc_id",
         F.expr(

@@ -368,8 +368,11 @@ def _rp_sig_df(spark, sf_dir) -> DataFrame:
     # knn_join) references the signature column from 2-3 plan branches,
     # and Spark recomputes shared lineage per branch — without the persist
     # the full-corpus signature UDF (the dominant stage at scale) would
-    # run once per branch, like the signature persist in dedup_minhash_lsh
-    return e.withColumn("sig", sig_udf(F.col("embedding"))).persist()
+    # run once per branch, like the signature persist in dedup_minhash_lsh.
+    # scoped_persist: released by the caller via ops.caching.release_caches()
+    from astrospark.ops.caching import scoped_persist
+
+    return scoped_persist(e.withColumn("sig", sig_udf(F.col("embedding"))))
 
 
 def _band_keys(sig_df: DataFrame, depths=(RP_BITS,)) -> DataFrame:

@@ -102,6 +102,12 @@ def main() -> int:
             failures.append((name, f"spark error: {ex}"))
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
             continue
+        finally:
+            # drop operator-internal signature/shingle caches between
+            # queries so a full 39-query sweep doesn't accumulate them
+            from astrospark.ops.caching import release_caches
+
+            release_caches()
         if name not in oracles:
             print(f"rows-only {name}: {len(spark_rows)} rows")
             continue

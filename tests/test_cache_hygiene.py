@@ -1,0 +1,56 @@
+"""Operator-internal cache lifetime (VERDICT r2 "What's wrong" #3):
+rebuilding the same query in one session must not re-persist (no
+``CacheManager: Asked to cache already cached data``), and
+``release_caches()`` must return the block manager to its prior state so
+caches don't accumulate across many query builds in a long session."""
+
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_minhash_rebuild_reuses_cache_and_releases(spark):
+    from astrospark.ops import dedup
+    from astrospark.ops.caching import release_caches
+
+    release_caches()
+    base = _n_cached_rdds(spark)
+
+    dedup.dedup_minhash_lsh(spark, SF_DIR).count()
+    after_first = _n_cached_rdds(spark)
+    assert after_first == base + 1  # the minhash signature
+
+    # second build of the SAME query: scoped_persist must find the
+    # equivalent plan already cached and add no new entry
+    dedup.dedup_minhash_lsh(spark, SF_DIR).count()
+    assert _n_cached_rdds(spark) == after_first
+
+    released = release_caches()
+    assert released >= 2  # both builds registered their handle
+    assert _n_cached_rdds(spark) == base
+
+
+def test_jaccard_and_rp_sig_release(spark):
+    from astrospark.ops import dedup, similarity
+    from astrospark.ops.caching import release_caches
+
+    release_caches()
+    base = _n_cached_rdds(spark)
+
+    dedup.dedup_ngram_jaccard(spark, SF_DIR).count()  # shingles + postings
+    similarity.ann_rp_topk(spark, SF_DIR).count()  # RP signature
+    assert _n_cached_rdds(spark) == base + 3
+
+    release_caches()
+    assert _n_cached_rdds(spark) == base
+
+
+def test_release_without_persist_is_noop(spark):
+    from astrospark.ops.caching import release_caches
+
+    release_caches()
+    assert release_caches() == 0
