@@ -39,11 +39,12 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def ann_cosine_topk(spark, sf_dir) -> DataFrame:
-    """Exact top-k by cosine against the query vector (vec_id=0)."""
+def ann_cosine_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
+    """Exact top-k by cosine against the query vector (default vec_id=0,
+    the oracle-contract query; any corpus vector can be probed)."""
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    joined = e.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
     sims = joined.select(
         "vec_id",
         F.round(cosine(F.col("embedding").cast("array<double>"), F.col("q_emb").cast("array<double>")), 4).alias("cos_sim"),
@@ -74,13 +75,13 @@ def ann_lsh_buckets(spark, sf_dir) -> DataFrame:
     )
 
 
-def ann_lsh_topk(spark, sf_dir) -> DataFrame:
+def ann_lsh_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
     """Approximate top-k: search only the query's sign bucket."""
     e = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("embedding")))
-    q = e.filter(F.col("vec_id") == 0).select(
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
-    cands = e.filter(F.col("vec_id") != 0).join(
+    cands = e.filter(F.col("vec_id") != query_vec_id).join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket")
     )
     sims = cands.select(
@@ -225,10 +226,10 @@ def kmeans_centroids(spark, sf_dir, iters: int = KM_ITERS) -> DataFrame:
     return cents
 
 
-def ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
-    """IVF probe against k-means-trained centroids (nprobe=1): assign
-    every vector with the deterministic integer score, then exact-cosine
-    rerank inside the query's cell only."""
+def kmeans_cells(spark, sf_dir) -> DataFrame:
+    """(vec_id, cell) assignment against the k-means-trained centroids —
+    stage 1 of ``ann_ivf_kmeans_topk``, exposed for the retrieval-quality
+    harness (cell sizes = probe-time candidate counts)."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).withColumn(
@@ -246,7 +247,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
         lambda acc, v: acc + v,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    cells = (
+    return (
         e.crossJoin(F.broadcast(cents.withColumn("qn2", qn2)))
         .select(
             "vec_id",
@@ -257,11 +258,19 @@ def ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
     )
+
+
+def ann_ivf_kmeans_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
+    """IVF probe against k-means-trained centroids (nprobe=1): assign
+    every vector with the deterministic integer score, then exact-cosine
+    rerank inside the query's cell only."""
+    e = _emb(spark, sf_dir)
+    cells = kmeans_cells(spark, sf_dir)
     v = e.join(cells, "vec_id")
-    q = v.filter(F.col("vec_id") == 0).select(
+    q = v.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
     )
-    cands = v.filter(F.col("vec_id") != 0).join(
+    cands = v.filter(F.col("vec_id") != query_vec_id).join(
         F.broadcast(q), F.col("cell") == F.col("q_cell")
     )
     sims = cands.select(
@@ -277,15 +286,15 @@ def ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
     return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
 
 
-def ann_ivf_topk(spark, sf_dir) -> DataFrame:
+def ann_ivf_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
     """IVF probe: search only the query vector's cell (nprobe=1)."""
     e = _emb(spark, sf_dir)
     cells = ivf_cells(spark, sf_dir)
     v = e.join(cells, "vec_id")
-    q = v.filter(F.col("vec_id") == 0).select(
+    q = v.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
     )
-    cands = v.filter(F.col("vec_id") != 0).join(
+    cands = v.filter(F.col("vec_id") != query_vec_id).join(
         F.broadcast(q), F.col("cell") == F.col("q_cell")
     )
     sims = cands.select(
@@ -390,7 +399,35 @@ def _band_keys(sig_df: DataFrame, depths=(RP_BITS,)) -> DataFrame:
     )
 
 
-def ann_rp_topk(spark, sf_dir) -> DataFrame:
+def rp_candidates(spark, sf_dir, query_vec_id: int = 0, probe_depths=RP_PROBE_DEPTHS) -> DataFrame:
+    """Distinct candidate vec_ids colliding with the query in any
+    (band, probe-depth) bucket — stage 1 of ``ann_rp_topk``, exposed so
+    the retrieval-quality harness (scripts/ann_recall.py) can report
+    candidate-set sizes for the recall/speedup tradeoff.
+
+    ``probe_depths`` is THE recall knob (BENCH/RECALL.md measures it):
+    appending shorter prefixes (e.g. ``(16, 8, 4)``) probes coarser
+    LSH-forest buckets — monotonically more candidates, more recall."""
+    sigs = _rp_sig_df(spark, sf_dir)
+    keys = _band_keys(sigs, depths=probe_depths)
+    qk = (
+        keys.join(sigs.filter(F.col("vec_id") == query_vec_id).select("vec_id"), "vec_id")
+        .select(F.col("band").alias("q_band"), F.col("depth").alias("q_depth"), F.col("bk").alias("q_bk"))
+    )
+    return (
+        keys.filter(F.col("vec_id") != query_vec_id)
+        .join(
+            F.broadcast(qk),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("depth") == F.col("q_depth"))
+            & (F.col("bk") == F.col("q_bk")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def ann_rp_topk(spark, sf_dir, query_vec_id: int = 0, probe_depths=RP_PROBE_DEPTHS) -> DataFrame:
     """Approximate top-k via banded RP-LSH with prefix probing.
 
     Stage 1 (candidates): equi-join the query's band keys against the
@@ -405,25 +442,9 @@ def ann_rp_topk(spark, sf_dir) -> DataFrame:
     the corpus band-key table is the partition layout, so a probe is a
     key-pruned lookup, not a scan.
     """
-    sigs = _rp_sig_df(spark, sf_dir)
-    keys = _band_keys(sigs, depths=RP_PROBE_DEPTHS)
-    qk = (
-        keys.join(sigs.filter(F.col("vec_id") == 0).select("vec_id"), "vec_id")
-        .select(F.col("band").alias("q_band"), F.col("depth").alias("q_depth"), F.col("bk").alias("q_bk"))
-    )
-    cands = (
-        keys.filter(F.col("vec_id") != 0)
-        .join(
-            F.broadcast(qk),
-            (F.col("band") == F.col("q_band"))
-            & (F.col("depth") == F.col("q_depth"))
-            & (F.col("bk") == F.col("q_bk")),
-        )
-        .select("vec_id")
-        .distinct()
-    )
+    cands = rp_candidates(spark, sf_dir, query_vec_id, probe_depths)
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
     sims = (
         e.join(cands, "vec_id")
         .crossJoin(F.broadcast(q))
@@ -441,12 +462,20 @@ def ann_rp_topk(spark, sf_dir) -> DataFrame:
     return sims.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(TOP_K)
 
 
-def emb_neardup_banded(spark, sf_dir, max_bucket: int | None = RP_MAX_BUCKET) -> DataFrame:
+def emb_neardup_banded(
+    spark,
+    sf_dir,
+    max_bucket: int | None = RP_MAX_BUCKET,
+    probe_depths=(RP_BITS,),
+) -> DataFrame:
     """Near-duplicate detection over 65k-bucket banded RP-LSH.
 
     Candidates collide in ≥1 full-depth band; pairs expand from bounded
     posting lists (collect_set per (band, bk), capped at ``max_bucket`` —
-    the dedup_minhash_lsh guard), then exact-cosine verify. Output keeps
+    the dedup_minhash_lsh guard), then exact-cosine verify.
+    ``probe_depths`` is the recall knob (BENCH/RECALL.md §3 measures it):
+    adding the 8-bit prefix — ``(16, 8)`` — raises pair recall at the
+    cost of coarser-bucket candidate volume. Output keeps
     every candidate with its verdict (is_neardup = cos ≥ NEARDUP_COS) so
     the filter-verification accounting is visible.
 
@@ -455,7 +484,7 @@ def emb_neardup_banded(spark, sf_dir, max_bucket: int | None = RP_MAX_BUCKET) ->
     key has 2^16 values per band and oversized buckets are routed out.
     """
     sigs = _rp_sig_df(spark, sf_dir)
-    bands = _band_keys(sigs, depths=(RP_BITS,))
+    bands = _band_keys(sigs, depths=probe_depths)
     if max_bucket is not None:
         keep = (
             bands.groupBy("band", "depth", "bk")
@@ -501,7 +530,13 @@ def emb_neardup_banded(spark, sf_dir, max_bucket: int | None = RP_MAX_BUCKET) ->
 KNN_K = 5
 
 
-def knn_join(spark, sf_dir, k: int = KNN_K, max_bucket: int | None = RP_MAX_BUCKET) -> DataFrame:
+def knn_join(
+    spark,
+    sf_dir,
+    k: int = KNN_K,
+    max_bucket: int | None = RP_MAX_BUCKET,
+    probe_depths=RP_PROBE_DEPTHS,
+) -> DataFrame:
     """Approximate k-NN SELF-join over the whole embedding table — the
     workhorse of semantic dedup/clustering on training corpora (every
     vector gets its k nearest candidates, not just one query).
@@ -517,7 +552,7 @@ def knn_join(spark, sf_dir, k: int = KNN_K, max_bucket: int | None = RP_MAX_BUCK
     from pyspark.sql import Window
 
     sigs = _rp_sig_df(spark, sf_dir)
-    keys = _band_keys(sigs, depths=RP_PROBE_DEPTHS)
+    keys = _band_keys(sigs, depths=probe_depths)
     if max_bucket is not None:
         keep = (
             keys.groupBy("band", "depth", "bk")
