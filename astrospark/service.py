@@ -8,12 +8,17 @@ request handling AstroProcessString.java:32-81):
                            → { "entities": [...], "runtime": ms }
   GET  /health             → { "status": "ok" }
 
-Response shape follows the reference's hand-built JSON (entities list +
-runtime in milliseconds, AstroProcessString.java:46-65); blank input →
-204 No Content (AstroParser.java:96-98 null-result path). Each entity is
-our span record (seq, kind, text, media_ref, offset) — the engine's
-contract schema rather than the reference's richer AstroEntity fields,
-since this service fronts the same kernel the cluster job runs.
+Response fidelity: each entity carries the reference's AstroEntity.toJson
+fields (AstroEntity.java:198-236) — ``rawForm``, ``type`` ("OBJECT",
+AstroLexicon.Astro_Type.getName), ``offsetStart``/``offsetEnd``, ``conf``
+(reference default 0.8, serialized as a string exactly like the Java
+``"conf" : "0.8"``) — so a reference client can switch endpoints without
+parsing changes. ``POST /processAstroText?format=spans`` returns the
+engine's native span records (seq, kind, text, media_ref, offset)
+instead — the contract schema the cluster job emits. Input text gets the
+reference's REST-path newline/tab→space normalization
+(AstroProcessString.java:41 — length-preserving, offsets unaffected);
+blank input → 204 No Content (AstroParser.java:96-98 null-result path).
 
 Pure stdlib (http.server, ThreadingHTTPServer) — NO Spark session is
 created: AstroEngine.process_text runs the Arrow kernel driver-side on a
@@ -32,6 +37,28 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from astrospark.api import AstroEngine
+
+MAX_BODY_BYTES = 10 * 1024 * 1024  # 413 above this — one request must not
+# buffer an unbounded declared length into memory (ADVICE r2)
+
+ENTITY_CONF = "0.8"  # AstroEntity.java:56 default, serialized as string
+
+
+def spans_to_entities(spans: list[dict]) -> list[dict]:
+    """Engine span records → reference AstroEntity JSON fields
+    (AstroEntity.java:198-236). Only object spans are entities on the
+    REST path (a plain-text request has no media rows anyway)."""
+    return [
+        {
+            "rawForm": s["text"],
+            "type": "OBJECT",
+            "offsetStart": s["offset"],
+            "offsetEnd": s["offset"] + len(s["text"]),
+            "conf": ENTITY_CONF,
+        }
+        for s in spans
+        if s["kind"] == "object"
+    ]
 
 
 def make_handler(engine: AstroEngine):
@@ -56,7 +83,8 @@ def make_handler(engine: AstroEngine):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/processAstroText":
+            url = urllib.parse.urlsplit(self.path)
+            if url.path != "/processAstroText":
                 self._send(404, {"error": "unknown path"})
                 return
             if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
@@ -64,7 +92,17 @@ def make_handler(engine: AstroEngine):
                 # answering 204 with the body left unconsumed on the socket
                 self._send(411, {"error": "chunked transfer not supported; send Content-Length"})
                 return
-            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send(400, {"error": "invalid Content-Length"})
+                return
+            if n < 0:
+                self._send(400, {"error": "invalid Content-Length"})
+                return
+            if n > MAX_BODY_BYTES:
+                self._send(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+                return
             raw = self.rfile.read(n).decode("utf-8", "replace")
             ctype = self.headers.get("Content-Type", "")
             if "application/x-www-form-urlencoded" in ctype:
@@ -74,11 +112,17 @@ def make_handler(engine: AstroEngine):
             if not text.strip():
                 self._send(204, None)  # blank input → no content
                 return
+            # the reference REST path flattens newlines/tabs before parsing
+            # (AstroProcessString.java:41); length-preserving, so offsets
+            # remain absolute into the submitted text
+            text = text.replace("\n", " ").replace("\t", " ")
             t0 = time.time()
             spans = engine.process_text(text)
+            fmt = urllib.parse.parse_qs(url.query).get("format", ["entities"])[0]
+            entities = spans if fmt == "spans" else spans_to_entities(spans)
             self._send(
                 200,
-                {"entities": spans, "runtime": int((time.time() - t0) * 1000)},
+                {"entities": entities, "runtime": int((time.time() - t0) * 1000)},
             )
 
     return Handler
