@@ -14,11 +14,11 @@ extraction-count metrics so runs resume mid-table". Realization:
   ``<checkpoint_dir>/commits`` (parquet):
     (bucket int, input_fingerprint string, n_docs long, n_spans long,
      n_objects long, wall_ms long, completed_at timestamp)
-  Group-total n_docs/n_spans/n_objects come from ``Observation`` metrics
-  on the running job; the EXACT per-bucket split is then derived from the
-  just-written output with one partition-pruned aggregate over the
-  group's buckets (a second, cheap scan of only the fresh partitions —
-  Observation cannot produce per-group keys).
+  The EXACT per-bucket n_docs/n_spans/n_objects ride the write job as
+  ``Observation`` per-bucket indicator aggregates (Observation cannot
+  group by key, but 3·bucket_batch codegen'd sums can enumerate the
+  group's buckets) — metrics are known the moment the write commits,
+  ONE pass, no read-back scan.
 - Resume = read the commit table, skip buckets already recorded for the
   same input fingerprint. Changing the fingerprint (new snapshot)
   invalidates prior progress for lineage-correct reruns.
@@ -151,41 +151,44 @@ class CheckpointedExtraction:
                 F.col("_bucket").isin(group)
             )
             out = extract_spans(subset.drop("_bucket"), self.bcast, **extract_kwargs)
-            obs = Observation(f"extract-group-{gi}")
-            # DISTINCT aggregates are disallowed in observed metrics;
-            # each emitting doc has exactly one seq=0 row, so docs = Σ(seq=0)
-            out = out.observe(
-                obs,
-                F.sum((F.col("seq") == 0).cast("long")).alias("n_docs"),
-                F.count(F.lit(1)).alias("n_spans"),
-                F.sum((F.col("kind") == "object").cast("long")).alias("n_objects"),
-            )
             out = out.withColumn(
                 "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
             )
+            # per-bucket metrics ride the WRITE job itself: Observation
+            # cannot group by key, but it can carry one indicator
+            # aggregate per (bucket, metric) — 3·bucket_batch cheap sums
+            # inside whole-stage codegen, so the exact per-bucket split
+            # is known when the write commits, with NO read-back scan
+            # (VERDICT r2 #7). DISTINCT aggregates are disallowed in
+            # observed metrics; each emitting doc has exactly one seq=0
+            # row, so docs = Σ(seq=0).
+            obs = Observation(f"extract-group-{gi}")
+            obs_aggs = []
+            for b in group:
+                in_b = F.col("_bucket") == b
+                obs_aggs += [
+                    F.sum((in_b & (F.col("seq") == 0)).cast("long")).alias(f"nd_{b}"),
+                    F.sum(in_b.cast("long")).alias(f"ns_{b}"),
+                    F.sum((in_b & (F.col("kind") == "object")).cast("long")).alias(f"no_{b}"),
+                ]
+            out = out.observe(obs, *obs_aggs)
             out.write.mode("overwrite").partitionBy("_bucket").parquet(output_dir)
             metrics = obs.get
+            per_bucket = {
+                int(b): (
+                    int(metrics[f"nd_{b}"] or 0),
+                    int(metrics[f"ns_{b}"] or 0),
+                    int(metrics[f"no_{b}"] or 0),
+                )
+                for b in group
+            }
             result = GroupResult(
                 buckets=group,
-                n_docs=int(metrics["n_docs"] or 0),
-                n_spans=int(metrics["n_spans"] or 0),
-                n_objects=int(metrics["n_objects"] or 0),
+                n_docs=sum(v[0] for v in per_bucket.values()),
+                n_spans=sum(v[1] for v in per_bucket.values()),
+                n_objects=sum(v[2] for v in per_bucket.values()),
                 wall_ms=int((time.time() - t0) * 1000),
             )
-            # exact per-bucket metrics from the just-written partitions
-            # (partition-pruned scan of the group's buckets only)
-            per_bucket = {
-                int(r["_bucket"]): (int(r["nd"]), int(r["ns"]), int(r["no"]))
-                for r in spark.read.parquet(output_dir)
-                .filter(F.col("_bucket").isin(group))
-                .groupBy("_bucket")
-                .agg(
-                    F.sum((F.col("seq") == 0).cast("long")).alias("nd"),
-                    F.count(F.lit(1)).alias("ns"),
-                    F.sum((F.col("kind") == "object").cast("long")).alias("no"),
-                )
-                .collect()
-            }
             self._append_commits(result, fingerprint, per_bucket)
             results.append(result)
         return results

@@ -80,9 +80,13 @@ def media_table(spark: SparkSession, n: int = 50, seed: int = 13) -> DataFrame:
 def _decode_one(media_type: str, content: bytes):
     if content[:4] == _MAGIC:
         w, h, frames = struct.unpack("<3i", content[4:16])
-        # deterministic fake luma from the body bytes
+        # deterministic fake luma from the body bytes; a header-only
+        # payload (exactly 16 bytes — routed here because the batch path
+        # requires len>16) has mean_luma DEFINED as 0.0, the one contract
+        # both decode paths share (ADVICE r2: body.mean() of an empty
+        # array is NaN + RuntimeWarning otherwise)
         body = np.frombuffer(content[16:], dtype=np.uint8)
-        return w, h, frames, float(body.mean()) / 255.0
+        return w, h, frames, (float(body.mean()) / 255.0 if body.size else 0.0)
     # real path — decoders not available in this container
     try:  # pragma: no cover - exercised only where PIL exists
         if media_type == "image":

@@ -96,10 +96,20 @@ def main(
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in SCORERS]
-    chosen = next((a for a in sys.argv[1:] if a in SCORERS), "crf")
-    n_p = int(args[0]) if len(args) > 0 else 600
-    n_i = int(args[1]) if len(args) > 1 else 10
-    out_path = args[2] if len(args) > 2 else None
-    m = main(n_p, n_i, out=out_path, scorer=chosen)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m astrospark.train",
+        description="Train/evaluate the span-labeling model (EVAL-ONLY "
+        "unless an output path is given — the shipped artifact is pinned "
+        "by the golden tests).",
+    )
+    ap.add_argument("n_paragraphs", type=int, nargs="?", default=600)
+    ap.add_argument("n_iter", type=int, nargs="?", default=10)
+    ap.add_argument("out", nargs="?", default=None, help="weights .npz path (omit for eval-only)")
+    # explicit option, not a value-sniffed positional: an out path literally
+    # named 'crf' must stay an out path (ADVICE r2)
+    ap.add_argument("--scorer", choices=sorted(SCORERS), default="crf")
+    a = ap.parse_args()
+    m = main(a.n_paragraphs, a.n_iter, out=a.out, scorer=a.scorer)
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items()})
