@@ -41,18 +41,21 @@ def tei_chunks(xml_text: str) -> list[str]:
     return chunks
 
 
-def tei_annotated_paragraphs(xml_text: str) -> list[tuple[str, list[tuple[int, int]]]]:
-    """(paragraph_text, [(char_start, char_end), ...]) per <p>, reading
-    inline <rs type="astro-object"> annotations (the training-corpus reader,
-    AstroAnnotationSaxHandler.java:94-162). Offsets index the normalized
-    paragraph text."""
+def tei_typed_annotations(
+    xml_text: str,
+) -> list[tuple[str, list[tuple[int, int, str]]]]:
+    """(paragraph_text, [(char_start, char_end, rs_type), ...]) per <p>,
+    reading EVERY inline <rs> regardless of type — the corpus-lint reader
+    (the reference's consistency checker, scripts/consistency.py:96-116,
+    collects all rs types to flag cross-type ambiguity). Offsets index
+    the normalized paragraph text."""
     root = ET.fromstring(xml_text)
     out = []
     for el in root.iter():
         if _local(el.tag) not in _P_TAGS:
             continue
         parts: list[str] = []
-        spans: list[tuple[int, int]] = []
+        spans: list[tuple[int, int, str]] = []
         pos = 0
 
         def push(txt: str | None) -> None:
@@ -64,9 +67,9 @@ def tei_annotated_paragraphs(xml_text: str) -> list[tuple[str, list[tuple[int, i
 
         push(el.text)
         for child in el:
-            if _local(child.tag) == "rs" and child.get("type") == "astro-object":
+            if _local(child.tag) == "rs":
                 ent = _WS_RUN.sub(" ", "".join(child.itertext()))
-                spans.append((pos, pos + len(ent)))
+                spans.append((pos, pos + len(ent), child.get("type") or ""))
                 parts.append(ent)
                 pos += len(ent)
             else:
@@ -77,13 +80,24 @@ def tei_annotated_paragraphs(xml_text: str) -> list[tuple[str, list[tuple[int, i
         lead = len(text) - len(text.lstrip())
         text = text.strip()
         spans = [
-            (max(s - lead, 0), min(e - lead, len(text)))
-            for s, e in spans
+            (max(s - lead, 0), min(e - lead, len(text)), t)
+            for s, e, t in spans
             if e - lead > 0
         ]
         if text:
             out.append((text, spans))
     return out
+
+
+def tei_annotated_paragraphs(xml_text: str) -> list[tuple[str, list[tuple[int, int]]]]:
+    """(paragraph_text, [(char_start, char_end), ...]) per <p>, reading
+    inline <rs type="astro-object"> annotations (the training-corpus reader,
+    AstroAnnotationSaxHandler.java:94-162). Offsets index the normalized
+    paragraph text."""
+    return [
+        (text, [(s, e) for s, e, t in spans if t == "astro-object"])
+        for text, spans in tei_typed_annotations(xml_text)
+    ]
 
 
 def apply_training_label_filters(text: str, spans: list[tuple[int, int]]) -> list[tuple[int, int]]:

