@@ -152,7 +152,10 @@ def ivf_cells(spark, sf_dir) -> DataFrame:
         (qdot.cast("double") / F.sqrt(F.col("qn2").cast("double"))).alias("s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    return (
+    from astrospark.ops.caching import scoped_persist
+
+    # same index-once-probe-many persist as kmeans_cells
+    return scoped_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
@@ -229,7 +232,15 @@ def kmeans_centroids(spark, sf_dir, iters: int = KM_ITERS) -> DataFrame:
 def kmeans_cells(spark, sf_dir) -> DataFrame:
     """(vec_id, cell) assignment against the k-means-trained centroids —
     stage 1 of ``ann_ivf_kmeans_topk``, exposed for the retrieval-quality
-    harness (cell sizes = probe-time candidate counts)."""
+    harness (cell sizes = probe-time candidate counts).
+
+    scoped_persist'd: the assignment (training + one pass over the
+    corpus) is the INDEX — repeated probes in one session reuse it
+    instead of re-running Lloyd iterations per query (index-once,
+    probe-many; measured 3.7s → sub-second per probe in
+    scripts/ann_recall.py). At 10^12 vectors the assignment would be a
+    materialized table partitioned by cell, not a block-manager cache.
+    Released via ops.caching.release_caches()."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).withColumn(
@@ -247,7 +258,9 @@ def kmeans_cells(spark, sf_dir) -> DataFrame:
         lambda acc, v: acc + v,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    return (
+    from astrospark.ops.caching import scoped_persist
+
+    return scoped_persist(
         e.crossJoin(F.broadcast(cents.withColumn("qn2", qn2)))
         .select(
             "vec_id",

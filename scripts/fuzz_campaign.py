@@ -18,10 +18,16 @@ REAL astroVoc.txt (read-only) and fuzz texts drawn from its 12,926 SIMBAD
 names — exercises the delimiter-heavy identifiers ('[', '+', '.', '*',
 '(', ')', ''', '/') that a synthetic gazetteer cannot reach.
 
+Campaign D (mixed scorer): the same adversarial generators decoded under
+a freshly trained LOGISTIC artifact (the scorer plug seam) — the kernel
+must match the oracle for any model the plug produces.
+
 Run: python scripts/fuzz_campaign.py   (exit 0 = all equal)
-Last recorded (round 2, 12,926-entry default gazetteer + retrained
-weights): A: 24000 docs / 147479 spans / 0 mismatches; B: green (exit 0,
-split and no-split); C: 9000 docs / 57065 spans / 0 mismatches.
+Last recorded (round 3, default artifacts): A: 24000 docs / 147479
+spans / 0 mismatches; B/split + B/nosplit: 120 docs / 117646 spans / 0
+mismatches each; C: 9000 docs / 57065 spans / 0 mismatches; D: 6040
+docs under logistic scorer (held-out f1 0.878) / 103335 spans / 0
+mismatches.
 """
 
 from __future__ import annotations
