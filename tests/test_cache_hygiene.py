@@ -49,6 +49,24 @@ def test_jaccard_and_rp_sig_release(spark):
     assert _n_cached_rdds(spark) == base
 
 
+def test_ivf_probe_reuses_cell_index(spark):
+    """Index-once probe-many: a second ann_ivf_kmeans_topk probe (any
+    query vector) reuses the persisted cell assignment instead of
+    re-running Lloyd iterations."""
+    from astrospark.ops import similarity as sim
+    from astrospark.ops.caching import release_caches
+
+    release_caches()
+    base = _n_cached_rdds(spark)
+    sim.ann_ivf_kmeans_topk(spark, SF_DIR, query_vec_id=1).count()
+    after_first = _n_cached_rdds(spark)
+    assert after_first == base + 1  # the (vec_id, cell) index
+    sim.ann_ivf_kmeans_topk(spark, SF_DIR, query_vec_id=2).count()
+    assert _n_cached_rdds(spark) == after_first
+    release_caches()
+    assert _n_cached_rdds(spark) == base
+
+
 def test_release_without_persist_is_noop(spark):
     from astrospark.ops.caching import release_caches
 

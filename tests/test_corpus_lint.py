@@ -56,6 +56,22 @@ def test_lint_clean_corpus_is_empty(spark, tmp_path):
     assert _lint_dir(spark, tmp_path, {"clean.xml": CLEAN_TEI}) == {}
 
 
+def test_lint_generated_training_corpus(spark, tmp_path):
+    """Round-trip: S6 training-TEI files written from the seeded corpus
+    generator lint clean on the structural checks — every annotated form
+    is ≥2 chars and single-typed (unannotated_mention findings are
+    possible by construction: a generated name can legitimately recur
+    inside filler text or another name, which is exactly what the lint
+    is FOR)."""
+    from astrospark.corpus import make_corpus
+    from astrospark.io.tei import training_tei
+
+    paras = make_corpus(30, seed=7)
+    (tmp_path / "gen.xml").write_text(training_tei(paras), encoding="utf-8")
+    got = _lint_dir(spark, tmp_path, {})
+    assert not any(f in ("too_short", "digits_short", "multi_type") for _, f in got)
+
+
 def test_typed_reader_backwards_compatible():
     """tei_annotated_paragraphs still yields astro-object-only spans."""
     from astrospark.io.tei import tei_annotated_paragraphs, tei_typed_annotations
