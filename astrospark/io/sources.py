@@ -22,11 +22,27 @@ DOCS_SCHEMA_DDL = (
 
 
 def read_docs(spark: SparkSession, source: str, fmt: str | None = None) -> DataFrame:
-    """Load the interleaved docs table. ``source`` is a path (parquet) or a
-    catalog table name (iceberg)."""
+    """Load the interleaved docs table. ``source`` is a path
+    (parquet/jsonl) or a catalog table name (iceberg)."""
     if fmt == "iceberg" or (fmt is None and "." in source and "/" not in source):
         return spark.read.format("iceberg").load(source)
+    if fmt in ("json", "jsonl") or (fmt is None and source.endswith((".jsonl", ".json"))):
+        return read_docs_jsonl(spark, source)
     return spark.read.parquet(source)
+
+
+def read_docs_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Interleaved docs from JSON-lines (the common interchange format
+    for scholarly-document dumps). The schema is EXPLICIT — at 10^12
+    rows, schema inference is a full extra pass over the data; a typo'd
+    field under an explicit schema surfaces as nulls, checked by the
+    blank filter downstream, never as a silent schema drift."""
+    return spark.read.schema(DOCS_SCHEMA_DDL).json(path)
+
+
+def write_docs_jsonl(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Round-trip sink for the interleaved docs schema."""
+    docs.write.mode(mode).json(path)
 
 
 def documents_to_docs(documents: DataFrame) -> DataFrame:

@@ -93,3 +93,21 @@ def test_crf_feature_sink(tmp_path, artifacts):
     first = content[0].split(" ")
     assert len(first) == 18
     assert first[0] == "We"
+
+def test_jsonl_docs_roundtrip(spark, tmp_path):
+    """S1 alternate format: interleaved docs survive a JSONL round-trip
+    with the explicit schema (no inference pass) and extract identically
+    to the parquet path."""
+    import os
+
+    from astrospark.fixtures import docs_dataframe
+    from astrospark.io.sources import read_docs, write_docs_jsonl
+
+    docs = docs_dataframe(spark, 20, seed=5, skew_every=10, n_partitions=2)
+    path = os.fspath(tmp_path / "docs_jsonl")
+    write_docs_jsonl(docs, path)
+    back = read_docs(spark, path, fmt="jsonl")
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.select("doc_id", "spans").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "spans").collect()))
+    assert a == b
