@@ -229,10 +229,13 @@ def kmeans_centroids(spark, sf_dir, iters: int = KM_ITERS) -> DataFrame:
     return cents
 
 
-def kmeans_cells(spark, sf_dir) -> DataFrame:
-    """(vec_id, cell) assignment against the k-means-trained centroids —
-    stage 1 of ``ann_ivf_kmeans_topk``, exposed for the retrieval-quality
-    harness (cell sizes = probe-time candidate counts).
+def kmeans_cells(spark, sf_dir, max_rank: int = 4) -> DataFrame:
+    """(vec_id, cell, rnk) centroid ranking against the k-means-trained
+    centroids, rnk 1..``max_rank`` — stage 1 of ``ann_ivf_kmeans_topk``.
+    rnk=1 rows are the corpus cell MEMBERSHIP; rnk ≤ nprobe rows of the
+    query vector are its PROBE list (FAISS-style nprobe), so the one
+    cached DataFrame serves both sides. Exposed for the
+    retrieval-quality harness (cell sizes = probe-time candidate counts).
 
     scoped_persist'd: the assignment (training + one pass over the
     corpus) is the INDEX — repeated probes in one session reuse it
@@ -267,24 +270,32 @@ def kmeans_cells(spark, sf_dir) -> DataFrame:
             "cid",
             (qdot.cast("double") / F.sqrt(F.col("qn2").cast("double"))).alias("s"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= max_rank)
+        .select("vec_id", F.col("cid").alias("cell"), "rnk")
     )
 
 
-def ann_ivf_kmeans_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
-    """IVF probe against k-means-trained centroids (nprobe=1): assign
-    every vector with the deterministic integer score, then exact-cosine
-    rerank inside the query's cell only."""
+def ann_ivf_kmeans_topk(spark, sf_dir, query_vec_id: int = 0, nprobe: int = 1) -> DataFrame:
+    """IVF probe against k-means-trained centroids: every vector is
+    assigned by the deterministic integer score; the query searches its
+    ``nprobe`` nearest cells (default 1 — the oracle-contract setting;
+    BENCH/RECALL.md measures the recall the knob buys) with exact-cosine
+    rerank inside them."""
     e = _emb(spark, sf_dir)
     cells = kmeans_cells(spark, sf_dir)
-    v = e.join(cells, "vec_id")
-    q = v.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    member = cells.filter(F.col("rnk") == 1).select("vec_id", "cell")
+    v = e.join(member, "vec_id")
+    q_cells = cells.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rnk") <= nprobe)
+    ).select(F.col("cell").alias("q_cell"))
+    q_emb = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
     )
-    cands = v.filter(F.col("vec_id") != query_vec_id).join(
-        F.broadcast(q), F.col("cell") == F.col("q_cell")
+    cands = (
+        v.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
+        .crossJoin(F.broadcast(q_emb))
     )
     sims = cands.select(
         "vec_id",

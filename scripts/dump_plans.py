@@ -94,8 +94,11 @@ NOTES = {
         "(fixed iterations; per step one 8-row broadcast join + one "
         "cell-keyed aggregation with map-side partial avg — vectors never "
         "shuffle against each other), then the same integer-exact "
-        "assignment and single-cell probe. The whole iteration replays "
-        "bit-for-bit in the DuckDB oracle (unrolled CTEs)."
+        "assignment and a broadcast probe of the query's nprobe nearest "
+        "cells (default 1 — the oracle setting; one cached rank-4 "
+        "assignment serves membership and probe lists). The nprobe=1 "
+        "iteration replays bit-for-bit in the DuckDB oracle (unrolled "
+        "CTEs)."
     ),
     "ann_ivf_topk": (
         "IVF probe: broadcast centroids, cell assignment via windowed "
