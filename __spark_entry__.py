@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
             spark, sf_dir, max_bucket=None
         ),
+        "dedup_cc_clusters": lambda spark, sf_dir: dedup.dedup_cc_clusters(
+            spark, sf_dir, max_bucket=None
+        ),
         "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
     }
 
@@ -253,6 +256,27 @@ def _minhash_sql() -> str:
         "pairs AS (SELECT DISTINCT doc_a, doc_b FROM (" + band_union + ")) "
         "SELECT p.doc_a, p.doc_b, round((" + est + f") / {MINHASH_SEEDS}.0, 4) AS est_jaccard "
         "FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b"
+    )
+
+
+def _cc_clusters_sql() -> str:
+    """Connected components as a recursive CTE: the min reachable doc_id
+    is a unique fixpoint, so DuckDB's transitive-closure walk and Spark's
+    pointer-doubling propagation must agree exactly."""
+    from astrospark.ops.dedup import CC_EDGE_JACCARD
+
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        f"WHERE est_jaccard >= {CC_EDGE_JACCARD} "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs "
+        f"WHERE est_jaccard >= {CC_EDGE_JACCARD}), "
+        "walk(node, lbl) AS (SELECT src, src FROM e "
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node), "
+        "comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node) "
+        "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "CAST(d.doc_id = coalesce(c.cluster_id, d.doc_id) AS INT) AS is_canonical "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
     )
 
 
@@ -564,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

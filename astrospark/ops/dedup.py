@@ -395,3 +395,100 @@ def simhash16(spark, sf_dir) -> DataFrame:
         bit_val = F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         fp = bit_val if fp is None else fp + bit_val
     return agg.select("doc_id", fp.cast("int").alias("simhash"))
+
+
+CC_EDGE_JACCARD = 0.5  # minhash est_jaccard at/above which docs are linked
+CC_MAX_ROUNDS = 16  # pointer doubling: handles component diameter 2^16
+
+
+def cc_labels(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """(node, lbl) min-label connected components of an undirected pair
+    list ``(doc_a, doc_b)`` — the propagation core of
+    ``dedup_cc_clusters``, exposed so tests can drive it with adversarial
+    graphs (long paths) that LSH pair generation won't produce.
+
+    Pointer doubling: each round mins over (own label, neighbors'
+    labels, label's label) — O(log diameter) rounds. Labels never
+    increase, so an unchanged label sum is the fixpoint.
+    """
+    p = pairs.select("doc_a", "doc_b")
+    edges = scoped_persist(p.union(p.select("doc_b", "doc_a")).toDF("src", "dst"))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_rounds):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        jump = labels.alias("a").join(
+            labels.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")),
+            F.col("a.lbl") == F.col("j_node"),
+        ).select(F.col("a.node").alias("node"), F.col("j_lbl").alias("lbl"))
+        labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_cc_clusters(
+    spark,
+    sf_dir,
+    edge_jaccard: float = CC_EDGE_JACCARD,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Connected-components dedup clustering over the near-dup pair graph.
+
+    The step a production dedup pipeline runs AFTER pair generation:
+    near-dup pairs (minhash-LSH, ``est_jaccard >= edge_jaccard``) form an
+    undirected graph; every document gets its component's min doc_id as
+    ``cluster_id`` and ``is_canonical`` = 1 on the kept representative
+    (min-id, the deterministic "keep first" policy) — so downstream
+    training-data selection is ``WHERE is_canonical = 1``. Without this
+    step pairwise output under-removes: A~B and B~C does not list A~C,
+    and keep-one-per-pair logic would keep two of {A,B,C}.
+
+    Shape for scale: min-label propagation with POINTER DOUBLING — each
+    round takes the min over (own label, neighbors' labels, label's
+    label), so convergence is O(log diameter) rounds, not O(diameter)
+    like plain neighbor propagation (the two-hop jump is the same trick
+    as Kiveris et al.'s large-star; see PAPERS.md). Only edge-touched
+    nodes iterate (at web scale the near-dup subgraph is far smaller
+    than the corpus; isolated docs join once at the end). Each round is
+    two shuffles on the label key; ``localCheckpoint`` truncates the
+    otherwise-exponential iterative lineage (on a multi-node cluster use
+    a reliable ``checkpoint`` dir instead — executor-local blocks do not
+    survive executor loss). Convergence is detected by the label-sum
+    fixpoint (labels only ever decrease, so equal sums == no change:
+    one scalar action per round over the small label set).
+
+    The unique fixpoint (min reachable doc_id) is algorithm-independent,
+    which is what lets the DuckDB oracle verify this with a recursive
+    CTE while Spark runs pointer doubling.
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    p = (
+        dedup_minhash_lsh(spark, sf_dir, max_bucket=max_bucket)
+        .filter(F.col("est_jaccard") >= edge_jaccard)
+        .select("doc_a", "doc_b")
+    )
+    comp = cc_labels(p, max_rounds=max_rounds).withColumnRenamed("node", "doc_id")
+    return d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lbl", F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("lbl", F.col("doc_id")))
+        .cast("int")
+        .alias("is_canonical"),
+    )

@@ -162,3 +162,91 @@ def test_rp_signature_matches_numpy_oracle(spark):
     S = (q @ H.T) >= 0
     for row, vid in zip(S, ids):
         assert got[vid] == "".join("1" if b else "0" for b in row), vid
+
+
+def test_ivf_nprobe_widens_candidates_not_results_at_1(spark):
+    """The nprobe knob probes the query's nprobe nearest cells: the
+    probed-cell candidate pool grows monotonically with nprobe, nprobe=1
+    reproduces the oracle-contract result, and results stay a superset-
+    stable top-k (every nprobe=1 hit with a strictly-better score than
+    the nprobe=4 cutoff survives at nprobe=4)."""
+    from astrospark.ops import similarity as sim
+    from pyspark.sql import functions as F
+
+    cells = sim.kmeans_cells(spark, SF_DIR)
+    member = {r.vec_id: r.cell for r in cells.filter("rnk = 1").collect()}
+    size = {}
+    for c in member.values():
+        size[c] = size.get(c, 0) + 1
+    probes = {
+        rk: r.cell
+        for r in cells.filter(F.col("vec_id") == 7).collect()
+        for rk in [r.rnk]
+    }
+    assert sorted(probes) == [1, 2, 3, 4]
+    assert len(set(probes.values())) == 4  # 4 distinct cells ranked
+    pools = [sum(size.get(probes[rk], 0) for rk in range(1, np_ + 1)) for np_ in (1, 2, 4)]
+    assert pools[0] < pools[1] < pools[2]
+
+    r1 = [(r.vec_id, r.cos_sim) for r in sim.ann_ivf_kmeans_topk(spark, SF_DIR, 7, nprobe=1).collect()]
+    r4 = [(r.vec_id, r.cos_sim) for r in sim.ann_ivf_kmeans_topk(spark, SF_DIR, 7, nprobe=4).collect()]
+    assert len(r1) == len(r4) == sim.TOP_K
+    cutoff4 = min(s for _, s in r4)
+    assert all((v, s) in r4 for v, s in r1 if s > cutoff4)
+    assert min(s for _, s in r4) >= min(s for _, s in r1)  # wider pool can't worsen top-k
+
+
+def test_cc_labels_pointer_doubling_on_long_path(spark):
+    """Adversarial CC graph the LSH pair stream never produces: one
+    40-node path (diameter 39 — plain neighbor propagation would need 39
+    rounds; pointer doubling must land it within the CC_MAX_ROUNDS=16
+    budget), one triangle, one isolated edge. Oracle: union-find."""
+    from astrospark.ops.dedup import CC_MAX_ROUNDS, cc_labels
+
+    path = [(i, i + 1) for i in range(100, 139)]
+    tri = [(7, 9), (9, 11), (7, 11)]
+    iso = [(500, 42)]
+    pairs = spark.createDataFrame(path + tri + iso, ["doc_a", "doc_b"])
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in path + tri + iso:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {r.node: r.lbl for r in cc_labels(pairs, max_rounds=CC_MAX_ROUNDS).collect()}
+    assert got == want
+    assert got[138] == 100 and got[11] == 7 and got[500] == 42
+
+
+def test_dedup_cc_clusters_transitive_and_canonical(spark):
+    """End-to-end on the testdata corpus: cluster ids are the component
+    min (canonical iff doc_id == cluster_id), every minhash edge at the
+    threshold lands both endpoints in one cluster, and cluster count =
+    docs - (non-canonical dups)."""
+    from astrospark.ops.dedup import CC_EDGE_JACCARD, dedup_cc_clusters, dedup_minhash_lsh
+    from pyspark.sql import functions as F
+
+    rows = dedup_cc_clusters(spark, SF_DIR, max_bucket=None).collect()
+    cl = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == 500  # every document is assigned
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert r.is_canonical == int(r.doc_id == r.cluster_id)
+    edges = (
+        dedup_minhash_lsh(spark, SF_DIR, max_bucket=None)
+        .filter(F.col("est_jaccard") >= CC_EDGE_JACCARD)
+        .collect()
+    )
+    assert edges  # the corpus does contain near-dups
+    for e in edges:
+        assert cl[e.doc_a] == cl[e.doc_b]
