@@ -205,6 +205,22 @@ def main() -> None:
         runs[name] = rs
         timings[name] = min(rs)
 
+    # extras: timed the same way (min-of-REPEATS, library defaults) but
+    # NOT summed into the headline, so `value` stays comparable with the
+    # r1/r2 query set while newer operators still ship perf evidence
+    from astrospark.ops import dedup as _dedup
+
+    extra_timings: dict[str, float] = {}
+    for name, fn in {"dedup_cc_clusters": _dedup.dedup_cc_clusters}.items():
+        rs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            rs.append(round(time.time() - t0, 3))
+        release_caches()
+        runs[name] = rs
+        extra_timings[name] = min(rs)
+
     service_ms = service_latency()
     control_post = cpu_control()
 
@@ -222,6 +238,7 @@ def main() -> None:
                 "extraction_spans": n_spans,
                 "cpus": cpus,
                 "repeats": REPEATS,
+                "extra_queries": extra_timings,
                 "query_runs": runs,
                 "cpu_control_pre": control_pre,
                 "cpu_control_post": control_post,

@@ -40,6 +40,14 @@ NOTES = {
         "bucket with JVM-side pair expansion — never a self-join, never a "
         "cross join."
     ),
+    "dedup_cc_clusters": (
+        "Iterative min-label propagation with pointer doubling over the "
+        "LSH pair graph: O(log diameter) rounds, each two label-key "
+        "shuffles over the edge-touched subgraph only; localCheckpoint "
+        "truncates the per-round lineage, so the final plan joins the "
+        "converged (node,lbl) scan against the corpus — the full corpus "
+        "is touched exactly once, at the closing left join."
+    ),
     "dedup_ngram_jaccard": (
         "Posting-list shape: ONE collect_set aggregation builds the "
         "per-shingle doc list; df<=MAX_DF bounds every list before pair "
