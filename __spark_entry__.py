@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_stopwords": text.lang_id_stopwords,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
+        "repetition_filters": text.repetition_filters,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -277,6 +278,35 @@ def _cc_clusters_sql() -> str:
         "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
         "CAST(d.doc_id = coalesce(c.cluster_id, d.doc_id) AS INT) AS is_canonical "
         "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+    )
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition rules: identical integer counting (bigram
+    count x gram length; trigram distinct deficit) divided once into a
+    double on both engines."""
+    from astrospark.ops.text import REP_DUP_TRIGRAM_MAX, REP_TOP_BIGRAM_MAX
+
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+        "length(text) AS n_chars FROM documents), "
+        "b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg "
+        "FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+        "c AS (SELECT doc_id, max(cnt * length(bg)) AS top_bg_chars "
+        "FROM (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg) "
+        "GROUP BY doc_id), "
+        "fr AS (SELECT w.doc_id, "
+        "CASE WHEN w.n_chars > 0 THEN round(CAST(coalesce(c.top_bg_chars, 0) "
+        "AS DOUBLE) / w.n_chars, 4) ELSE 0.0 END AS top_bigram_char_frac, "
+        "CASE WHEN len(ws) >= 3 THEN round(CAST(len(ws) - 2 - "
+        "len(list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE) "
+        "/ (len(ws) - 2), 4) ELSE 0.0 END AS dup_trigram_frac "
+        "FROM w LEFT JOIN c ON c.doc_id = w.doc_id) "
+        "SELECT doc_id, top_bigram_char_frac, dup_trigram_frac, "
+        f"CAST(top_bigram_char_frac > {REP_TOP_BIGRAM_MAX} "
+        f"OR dup_trigram_frac > {REP_DUP_TRIGRAM_MAX} AS INT) AS rep_flagged "
+        "FROM fr"
     )
 
 
@@ -582,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint FROM documents"
         ),
         "fingerprint_rolling": _rolling_sql(),
+        "repetition_filters": _repetition_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

@@ -206,6 +206,89 @@ def b1_boilerplate_strip(spark, sf_dir) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, Table A1): docs
+# whose most common word 2-gram covers >18% of characters, or where >30%
+# of word 3-gram occurrences are repeats, are flagged low-quality
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.30
+
+
+def repetition_filters(spark, sf_dir) -> DataFrame:
+    """Repetition-based quality filters (Gopher/MassiveText rules over a
+    flat word-stream corpus): per document,
+
+    - ``top_bigram_char_frac`` — characters covered by the most common
+      word 2-gram (count × gram length / doc length). Computed by the
+      scalable shape: explode bigrams → (doc_id, bigram) count with
+      map-side partial aggregation → per-doc max — never a per-row
+      O(n²) scan, so million-token documents cost two bounded shuffles.
+    - ``dup_trigram_frac`` — fraction of word 3-gram occurrences that
+      are repeats (1 − distinct/total). Entirely in-row (higher-order
+      transform + array_distinct), no shuffle at all.
+    - ``rep_flagged`` — 1 iff either measure crosses its Gopher
+      threshold; downstream selection is ``WHERE rep_flagged = 0``.
+
+    Both measures are exact integer arithmetic divided once into a
+    double, so the DuckDB oracle replays them bit-for-bit.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n_chars"))
+    words = F.split("text", " ")
+    nw = F.size(words)
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nw - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    # Spark's sequence(1, n) runs DESCENDING when n < 1 — guard short docs
+    exploded = (
+        d.filter(nw >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("bg")).alias("top_bg_chars"))
+    )
+
+    trigrams = F.when(
+        nw >= 3,
+        F.transform(
+            F.sequence(F.lit(1), nw - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(trigrams)
+    dup_tri = F.when(
+        n_tri > 0,
+        F.round(
+            (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri, 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+    top_bg = F.when(
+        F.col("n_chars") > 0,
+        F.round(
+            F.coalesce(F.col("top_bg_chars"), F.lit(0)).cast("double") / F.col("n_chars"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.join(exploded, "doc_id", "left")
+        .select(
+            "doc_id",
+            top_bg.alias("top_bigram_char_frac"),
+            dup_tri.alias("dup_trigram_frac"),
+            (
+                (top_bg > REP_TOP_BIGRAM_MAX) | (dup_tri > REP_DUP_TRIGRAM_MAX)
+            ).cast("int").alias("rep_flagged"),
+        )
+    )
+
+
 def fingerprint_md5(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the punctuation-stripped lowercase
     text (portable; the rolling-hash variant is fingerprint_rolling)."""

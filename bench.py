@@ -209,9 +209,13 @@ def main() -> None:
     # NOT summed into the headline, so `value` stays comparable with the
     # r1/r2 query set while newer operators still ship perf evidence
     from astrospark.ops import dedup as _dedup
+    from astrospark.ops import text as _text
 
     extra_timings: dict[str, float] = {}
-    for name, fn in {"dedup_cc_clusters": _dedup.dedup_cc_clusters}.items():
+    for name, fn in {
+        "dedup_cc_clusters": _dedup.dedup_cc_clusters,
+        "repetition_filters": _text.repetition_filters,
+    }.items():
         rs = []
         for _ in range(REPEATS):
             t0 = time.time()

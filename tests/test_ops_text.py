@@ -1,0 +1,78 @@
+"""Hand-computed semantics tests for the repetition quality filters
+(Gopher/MassiveText rules, Rae et al. 2021 Table A1). The contract
+checker proves Spark≡DuckDB; these pin the *values* against arithmetic
+done by hand, so both engines can't drift together."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rep_rows(spark, tmp_path_factory):
+    docs = [
+        # "a b a b a b": bigram "a b"×3 (len 3) → 9/11 chars = 0.8182;
+        # trigrams 4 total / 2 distinct → dup 0.5  → flagged
+        (0, "a b a b a b"),
+        # single word: no bigrams, no trigrams → 0.0/0.0, not flagged
+        (1, "hello"),
+        # empty text: n_chars=0 guard → 0.0/0.0, not flagged
+        (2, ""),
+        # all-distinct words: top bigram appears once; trigrams unique.
+        # "alpha beta gamma delta epsilon" n_chars=30, longest bigram
+        # "delta epsilon" → max(cnt*len)=1*13
+        # → 13/30 = 0.4333 (>0.18 — tiny docs trip the char-frac rule by
+        # construction; Gopher applies it to web-scale docs); dup_tri 0.0
+        (3, "alpha beta gamma delta epsilon"),
+        # exactly two words, repeated trigram threshold edge: 3 words
+        # "x y x": bigrams "x y","y x" ×1 → max 3/5=0.6; 1 trigram,
+        # distinct → dup 0.0
+        (4, "x y x"),
+    ]
+    d = tmp_path_factory.mktemp("repdocs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.text import repetition_filters
+
+    out = repetition_filters(spark, str(d)).collect()
+    return {r.doc_id: r for r in out}
+
+
+def test_repeated_bigram_doc_flagged(rep_rows):
+    r = rep_rows[0]
+    assert r.top_bigram_char_frac == pytest.approx(round(9 / 11, 4))
+    assert r.dup_trigram_frac == pytest.approx(0.5)
+    assert r.rep_flagged == 1
+
+
+def test_single_word_and_empty_not_flagged(rep_rows):
+    for doc_id in (1, 2):
+        r = rep_rows[doc_id]
+        assert r.top_bigram_char_frac == 0.0
+        assert r.dup_trigram_frac == 0.0
+        assert r.rep_flagged == 0
+
+
+def test_distinct_words_no_trigram_dup(rep_rows):
+    r = rep_rows[3]
+    assert r.top_bigram_char_frac == pytest.approx(round(13 / 30, 4))
+    assert r.dup_trigram_frac == 0.0
+    r4 = rep_rows[4]
+    assert r4.top_bigram_char_frac == pytest.approx(0.6)
+    assert r4.dup_trigram_frac == 0.0
+
+
+def test_no_cross_product_in_plan(spark):
+    """The bigram count is explode→groupBy (two bounded shuffles), never
+    a pairwise self-join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from astrospark.ops.text import repetition_filters
+
+    df = repetition_filters(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
