@@ -114,6 +114,13 @@ NOTES = {
         "(exact dot / sqrt of exact norm² — single IEEE ops, no rounded "
         "cosine); only the query's cell is scanned at probe time."
     ),
+    "repetition_filters": (
+        "Gopher repetition rules: trigram dup-fraction is in-row "
+        "(higher-order transform + array_distinct, fused on the scan); the "
+        "bigram char-coverage path is explode → partial-agg count → per-doc "
+        "max — two doc_id-keyed shuffles bounded by corpus size, never a "
+        "pairwise self-join."
+    ),
     "b1_boilerplate_strip": (
         "Main-content extraction is a pure projection: split + higher-order "
         "filter + join run fused on the scan output — no UDF, no shuffle, "
