@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
+        "decontaminate_ngram": text.decontaminate_ngram,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -307,6 +308,27 @@ def _repetition_sql() -> str:
         f"CAST(top_bigram_char_frac > {REP_TOP_BIGRAM_MAX} "
         f"OR dup_trigram_frac > {REP_DUP_TRIGRAM_MAX} AS INT) AS rep_flagged "
         "FROM fr"
+    )
+
+
+def _decontaminate_sql() -> str:
+    """n-gram overlap vs the doc_id%MOD==0 eval split; integer counts
+    only, so parity is exact."""
+    from astrospark.ops.text import DECON_EVAL_MOD, DECON_NGRAM
+
+    n, mod = DECON_NGRAM, DECON_EVAL_MOD
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, list_transform("
+        f"generate_series(1, greatest(len(ws) - {n - 1}, 0)), "
+        f"i -> list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')) AS grams FROM w), "
+        f"e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {mod} = 0), "
+        f"t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {mod} != 0), "
+        "m AS (SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams "
+        "FROM t JOIN e USING (gram) GROUP BY t.doc_id) "
+        "SELECT g.doc_id, CAST(coalesce(m.n_shared_grams, 0) AS INT) AS n_shared_grams, "
+        "CAST(coalesce(m.n_shared_grams, 0) > 0 AS INT) AS contaminated "
+        f"FROM g LEFT JOIN m ON m.doc_id = g.doc_id WHERE g.doc_id % {mod} != 0"
     )
 
 
@@ -613,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_rolling": _rolling_sql(),
         "repetition_filters": _repetition_sql(),
+        "decontaminate_ngram": _decontaminate_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

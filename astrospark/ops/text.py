@@ -289,6 +289,65 @@ def repetition_filters(spark, sf_dir) -> DataFrame:
     )
 
 
+# decontamination params: word n-gram size and the deterministic eval
+# split (doc_id % DECON_EVAL_MOD == 0 models the held-out benchmark set;
+# in production the eval side is the real benchmark corpus)
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 10
+
+
+def decontaminate_ngram(spark, sf_dir, n: int = DECON_NGRAM) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with the held-out eval set (the standard n-gram
+    overlap rule used to scrub pretraining corpora of test-set leakage).
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are millions of grams vs 10^12 training grams), so its distinct gram
+    set is BROADCAST and the exploded training grams never shuffle on the
+    gram key — the only shuffle is the per-doc count of matched grams
+    (doc_id-keyed, bounded by matches, not by corpus gram volume). Gram
+    construction is in-row (higher-order transform over slice), no UDF.
+
+    Output per training doc: ``n_shared_grams`` (distinct grams also in
+    the eval set) and ``contaminated`` (1 iff any overlap); downstream
+    selection is ``WHERE contaminated = 0``.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = d.select("doc_id", grams.alias("grams"))
+
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_grams = (
+        with_grams.filter(is_eval)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = with_grams.filter(~is_eval)
+    matched = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("int").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def fingerprint_md5(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the punctuation-stripped lowercase
     text (portable; the rolling-hash variant is fingerprint_rolling)."""

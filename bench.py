@@ -215,6 +215,7 @@ def main() -> None:
     for name, fn in {
         "dedup_cc_clusters": _dedup.dedup_cc_clusters,
         "repetition_filters": _text.repetition_filters,
+        "decontaminate_ngram": _text.decontaminate_ngram,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -121,6 +121,11 @@ NOTES = {
         "max — two doc_id-keyed shuffles bounded by corpus size, never a "
         "pairwise self-join."
     ),
+    "decontaminate_ngram": (
+        "Eval-set n-grams (tiny vs the corpus) broadcast to the exploded "
+        "training grams — no shuffle on the gram key; the only exchange is "
+        "the doc_id-keyed count of matched grams, bounded by match volume."
+    ),
     "b1_boilerplate_strip": (
         "Main-content extraction is a pure projection: split + higher-order "
         "filter + join run fused on the scan output — no UDF, no shuffle, "

@@ -61,6 +61,53 @@ def test_distinct_words_no_trigram_dup(rep_rows):
     assert r4.dup_trigram_frac == 0.0
 
 
+@pytest.fixture(scope="module")
+def decon_rows(spark, tmp_path_factory):
+    docs = [
+        (0, "one two three four five six"),            # eval (doc_id%10==0)
+        (10, "alpha beta gamma delta epsilon"),        # eval
+        (1, "zzz one two three four five yyy"),        # shares 1 gram
+        (2, "completely different words here now ok"), # shares none
+        (3, "one two three four"),                     # <5 words: no grams
+        (4, "one two three four five six"),            # exact eval copy: 2 grams
+    ]
+    d = tmp_path_factory.mktemp("decondocs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.text import decontaminate_ngram
+
+    out = decontaminate_ngram(spark, str(d)).collect()
+    return {r.doc_id: r for r in out}
+
+
+def test_decontaminate_flags_overlap(decon_rows):
+    # eval docs are excluded from the output
+    assert set(decon_rows) == {1, 2, 3, 4}
+    assert (decon_rows[1].n_shared_grams, decon_rows[1].contaminated) == (1, 1)
+    assert (decon_rows[2].n_shared_grams, decon_rows[2].contaminated) == (0, 0)
+    assert (decon_rows[3].n_shared_grams, decon_rows[3].contaminated) == (0, 0)
+    assert (decon_rows[4].n_shared_grams, decon_rows[4].contaminated) == (2, 1)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set joins as a broadcast — the exploded training
+    grams must never shuffle on the gram key."""
+    import io
+    from contextlib import redirect_stdout
+
+    from astrospark.ops.text import decontaminate_ngram
+
+    df = decontaminate_ngram(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_cross_product_in_plan(spark):
     """The bigram count is explode→groupBy (two bounded shuffles), never
     a pairwise self-join."""
