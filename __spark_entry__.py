@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
         "decontaminate_ngram": text.decontaminate_ngram,
+        "sample_stratified": text.sample_stratified,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -329,6 +330,27 @@ def _decontaminate_sql() -> str:
         "SELECT g.doc_id, CAST(coalesce(m.n_shared_grams, 0) AS INT) AS n_shared_grams, "
         "CAST(coalesce(m.n_shared_grams, 0) > 0 AS INT) AS contaminated "
         f"FROM g LEFT JOIN m ON m.doc_id = g.doc_id WHERE g.doc_id % {mod} != 0"
+    )
+
+
+def _sample_sql() -> str:
+    """Same md5-nibble u32 + exact integer thresholds as the Spark side."""
+    from astrospark.ops.text import SAMPLE_DEFAULT_RATE, _U32, _sample_thresholds
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    u32 = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {t}"
+        for lang, t in sorted(_sample_thresholds().items())
+    )
+    return (
+        "WITH hashed AS (SELECT doc_id, lang, "
+        "md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS h FROM documents), "
+        f"u AS (SELECT doc_id, lang, {u32} AS u32 FROM hashed) "
+        "SELECT doc_id, lang, round(u32 / 4294967296.0, 6) AS sample_u FROM u "
+        f"WHERE u32 < (CASE lang {cases} ELSE {int(SAMPLE_DEFAULT_RATE * _U32)} END)"
     )
 
 
@@ -636,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rolling": _rolling_sql(),
         "repetition_filters": _repetition_sql(),
         "decontaminate_ngram": _decontaminate_sql(),
+        "sample_stratified": _sample_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

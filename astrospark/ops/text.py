@@ -348,6 +348,60 @@ def decontaminate_ngram(spark, sf_dir, n: int = DECON_NGRAM) -> DataFrame:
     )
 
 
+# stratified-sampling rates: rebalance the en-heavy corpus (keep rates
+# by lang stratum). Thresholds are exact 32-bit integers so the keep
+# decision is integer-compared on both engines, never a float compare.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.8}
+SAMPLE_DEFAULT_RATE = 1.0
+_U32 = 1 << 32
+
+
+def _sample_thresholds() -> dict[str, int]:
+    return {lang: int(rate * _U32) for lang, rate in SAMPLE_RATES.items()}
+
+
+def _hex32(col):
+    """First 32 bits of an md5 hex digest via portable nibble arithmetic
+    (same construction as _word_hash16, widened to 8 nibbles)."""
+    val = None
+    for i in range(8):
+        nib = (F.instr(F.lit(_HEXMAP), F.substring(col, i + 1, 1)) - 1).cast("long")
+        val = nib if val is None else val * 16 + nib
+    return val
+
+
+def sample_stratified(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via a hash-uniform, NOT rand() — the keep decision is a pure function
+    of (doc_id, lang), so task retries, reruns, and both engines agree
+    row-for-row (rand()-based sampling is non-reproducible under Spark's
+    task retry semantics and would never oracle-match).
+
+    u32 = first 32 md5 bits of "doc_id:lang"; keep iff u32 < rate·2^32
+    (exact integer threshold). Plan is scan → project → filter — zero
+    shuffle, and at 10^12 rows the sample decision costs one hash per
+    row with no coordination, which is why production corpus mixing uses
+    exactly this shape.
+    """
+    thresholds = _sample_thresholds()
+    default_thr = int(SAMPLE_DEFAULT_RATE * _U32)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "lang"))
+    u32 = _hex32(h)
+    thr = F.lit(default_thr)
+    for lang, t in sorted(thresholds.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return (
+        d.select("doc_id", "lang", u32.alias("u32"), thr.alias("thr"))
+        .filter(F.col("u32") < F.col("thr"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("u32") / F.lit(float(_U32)), 6).alias("sample_u"),
+        )
+    )
+
+
 def fingerprint_md5(spark, sf_dir) -> DataFrame:
     """Document fingerprint: md5 over the punctuation-stripped lowercase
     text (portable; the rolling-hash variant is fingerprint_rolling)."""

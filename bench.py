@@ -216,6 +216,7 @@ def main() -> None:
         "dedup_cc_clusters": _dedup.dedup_cc_clusters,
         "repetition_filters": _text.repetition_filters,
         "decontaminate_ngram": _text.decontaminate_ngram,
+        "sample_stratified": _text.sample_stratified,
     }.items():
         rs = []
         for _ in range(REPEATS):

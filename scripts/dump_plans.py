@@ -126,6 +126,11 @@ NOTES = {
         "training grams — no shuffle on the gram key; the only exchange is "
         "the doc_id-keyed count of matched grams, bounded by match volume."
     ),
+    "sample_stratified": (
+        "Hash-uniform stratified sampling is scan → project → filter: "
+        "zero exchanges, keep decision a pure function of (doc_id, lang) "
+        "— reproducible under task retries, unlike rand()-based sampling."
+    ),
     "b1_boilerplate_strip": (
         "Main-content extraction is a pure projection: split + higher-order "
         "filter + join run fused on the scan output — no UDF, no shuffle, "

@@ -108,6 +108,45 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_stratified_rates_and_plan(spark):
+    """Keep fractions land near the configured per-lang rates, the kept
+    set is a pure function of (doc_id, lang) (rerun-identical), and the
+    plan is scan → filter with NO exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from astrospark.ops.text import SAMPLE_RATES, sample_stratified
+
+    sf = "/root/testdata/sf0.01"
+    kept = sample_stratified(spark, sf).groupBy("lang").count().collect()
+    totals = {
+        r.lang: r["count"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for r in kept:
+        frac = r["count"] / totals[r.lang]
+        # binomial tolerance at n~70-218 per stratum
+        assert abs(frac - SAMPLE_RATES[r.lang]) < 0.15, (r.lang, frac)
+    # rate-1.0 strata keep everything (threshold 2^32 > any u32)
+    by_lang = {r.lang: r["count"] for r in kept}
+    for lang, rate in SAMPLE_RATES.items():
+        if rate == 1.0:
+            assert by_lang[lang] == totals[lang], lang
+
+    df = sample_stratified(spark, sf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert "Exchange" not in buf.getvalue()
+    # deterministic: two independent builds collect the identical set
+    a = sorted(r.doc_id for r in df.collect())
+    b = sorted(r.doc_id for r in sample_stratified(spark, sf).collect())
+    assert a == b
+
+
 def test_no_cross_product_in_plan(spark):
     """The bigram count is explode→groupBy (two bounded shuffles), never
     a pairwise self-join."""
