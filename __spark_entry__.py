@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": text.repetition_filters,
         "decontaminate_ngram": text.decontaminate_ngram,
         "sample_stratified": text.sample_stratified,
+        # max_bucket=None pins exhaustive pair semantics for the oracle
+        "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
+            spark, sf_dir, max_bucket=None
+        ),
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -269,6 +273,19 @@ def _cc_clusters_sql() -> str:
     from astrospark.ops.dedup import CC_EDGE_JACCARD
 
     return (
+        _cc_cte_prefix()
+        + " SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "CAST(d.doc_id = coalesce(c.cluster_id, d.doc_id) AS INT) AS is_canonical "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+    )
+
+
+def _cc_cte_prefix() -> str:
+    """Shared recursive-CTE prelude: near-dup pairs → undirected edges →
+    transitive closure → per-node component min (CTE ``comp``)."""
+    from astrospark.ops.dedup import CC_EDGE_JACCARD
+
+    return (
         "WITH RECURSIVE pairs AS (" + _minhash_sql() + "), "
         "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
         f"WHERE est_jaccard >= {CC_EDGE_JACCARD} "
@@ -276,10 +293,23 @@ def _cc_clusters_sql() -> str:
         f"WHERE est_jaccard >= {CC_EDGE_JACCARD}), "
         "walk(node, lbl) AS (SELECT src, src FROM e "
         "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node), "
-        "comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node) "
-        "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)"
+    )
+
+
+def _keep_best_sql() -> str:
+    """Longest-wins canonical selection per component: the same comp CTE
+    plus an integer-ordered row_number — identical winner on both
+    engines (no float compare anywhere)."""
+    return (
+        _cc_cte_prefix()
+        + ", cl AS (SELECT d.doc_id, "
+        "coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars, "
         "CAST(d.doc_id = coalesce(c.cluster_id, d.doc_id) AS INT) AS is_canonical "
-        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id) "
+        "SELECT doc_id, cluster_id, n_chars, is_canonical, "
+        "CAST(row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY n_chars DESC, doc_id ASC) = 1 AS INT) AS keep_best FROM cl"
     )
 
 
@@ -659,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": _repetition_sql(),
         "decontaminate_ngram": _decontaminate_sql(),
         "sample_stratified": _sample_sql(),
+        "dedup_keep_best": _keep_best_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

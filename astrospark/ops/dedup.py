@@ -492,3 +492,44 @@ def dedup_cc_clusters(
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+def dedup_keep_best(
+    spark,
+    sf_dir,
+    edge_jaccard: float = CC_EDGE_JACCARD,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Quality-aware canonical selection — the policy step that closes
+    the dedup pipeline: within each near-dup cluster keep the LONGEST
+    document (ties → min doc_id) instead of blind keep-first. Longest-
+    wins is the standard web-corpus policy (near-dup groups usually
+    contain truncated/boilerplate-stripped variants of one page; the
+    longest member carries the most content).
+
+    Output per doc: ``cluster_id``, ``n_chars``, ``is_canonical`` (the
+    min-id policy, for contrast) and ``keep_best`` (the longest-wins
+    policy); training-data selection is ``WHERE keep_best = 1``.
+
+    Scale shape: one doc_id equi-join of the cluster labels back to the
+    corpus (co-partitionable/bucketable on doc_id at scale), then ONE
+    window shuffle on cluster_id. The ranking is an integer total order
+    (n_chars DESC, doc_id ASC) — no float compare, so the DuckDB oracle
+    replays the exact same winner in every cluster.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_cc_clusters(
+        spark, sf_dir, edge_jaccard=edge_jaccard,
+        max_bucket=max_bucket, max_rounds=max_rounds,
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("keep_best", (F.row_number().over(w) == 1).cast("int"))
+        .select("doc_id", "cluster_id", "n_chars", "is_canonical", "keep_best")
+    )

@@ -217,6 +217,7 @@ def main() -> None:
         "repetition_filters": _text.repetition_filters,
         "decontaminate_ngram": _text.decontaminate_ngram,
         "sample_stratified": _text.sample_stratified,
+        "dedup_keep_best": _dedup.dedup_keep_best,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -126,6 +126,12 @@ NOTES = {
         "training grams — no shuffle on the gram key; the only exchange is "
         "the doc_id-keyed count of matched grams, bounded by match volume."
     ),
+    "dedup_keep_best": (
+        "Longest-wins canonical selection: cluster labels join back to "
+        "the corpus on doc_id (bucketable at scale), then ONE window "
+        "shuffle on cluster_id ranks members by integer (n_chars DESC, "
+        "doc_id) — no float compare, no extra pass over the pair graph."
+    ),
     "sample_stratified": (
         "Hash-uniform stratified sampling is scan → project → filter: "
         "zero exchanges, keep decision a pure function of (doc_id, lang) "

@@ -250,3 +250,29 @@ def test_dedup_cc_clusters_transitive_and_canonical(spark):
     assert edges  # the corpus does contain near-dups
     for e in edges:
         assert cl[e.doc_a] == cl[e.doc_b]
+
+
+def test_dedup_keep_best_longest_wins(spark):
+    """Exactly one keep_best per cluster; the winner carries the cluster
+    max n_chars (ties broken by min doc_id); singleton clusters keep
+    their only member under BOTH policies."""
+    from collections import defaultdict
+
+    from astrospark.ops.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(spark, SF_DIR, max_bucket=None).collect()
+    assert len(rows) == 500
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        winners = [r for r in members if r.keep_best == 1]
+        assert len(winners) == 1, cid
+        best = min(members, key=lambda r: (-r.n_chars, r.doc_id))
+        assert winners[0].doc_id == best.doc_id, cid
+        if len(members) == 1:
+            assert members[0].is_canonical == 1 and members[0].keep_best == 1
+    # the two policies genuinely differ on this corpus (some cluster's
+    # longest member is not its min-id member) — guards against the
+    # keep_best column degenerating into a copy of is_canonical
+    assert any(r.keep_best != r.is_canonical for r in rows)
