@@ -270,8 +270,6 @@ def _cc_clusters_sql() -> str:
     """Connected components as a recursive CTE: the min reachable doc_id
     is a unique fixpoint, so DuckDB's transitive-closure walk and Spark's
     pointer-doubling propagation must agree exactly."""
-    from astrospark.ops.dedup import CC_EDGE_JACCARD
-
     return (
         _cc_cte_prefix()
         + " SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
