@@ -75,7 +75,15 @@ def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from astrospark.ops import dedup, events, multimodal, relational, similarity, text
+    from astrospark.ops import (
+        curation,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         # extraction pipeline (S1/T1-T4/J1-J2/F*/M1/A1-A3/O1) — not
@@ -109,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
         ),
+        "corpus_curation": curation.corpus_curation,
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -379,6 +388,18 @@ def _sample_sql() -> str:
         f"u AS (SELECT doc_id, lang, {u32} AS u32 FROM hashed) "
         "SELECT doc_id, lang, round(u32 / 4294967296.0, 6) AS sample_u FROM u "
         f"WHERE u32 < (CASE lang {cases} ELSE {int(SAMPLE_DEFAULT_RATE * _U32)} END)"
+    )
+
+
+def _curation_sql() -> str:
+    """The four stage oracles composed as derived tables — SEMI-join
+    semantics via plain joins on already-distinct doc_id outputs."""
+    return (
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+        f"JOIN ({_sample_sql()}) s ON s.doc_id = d.doc_id "
+        f"JOIN ({_repetition_sql()}) r ON r.doc_id = d.doc_id AND r.rep_flagged = 0 "
+        f"JOIN ({_decontaminate_sql()}) c ON c.doc_id = d.doc_id AND c.contaminated = 0 "
+        f"JOIN ({_keep_best_sql()}) k ON k.doc_id = d.doc_id AND k.keep_best = 1"
     )
 
 
@@ -688,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _decontaminate_sql(),
         "sample_stratified": _sample_sql(),
         "dedup_keep_best": _keep_best_sql(),
+        "corpus_curation": _curation_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS content_md5, CAST(count(*) AS INT) AS n_copies, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"

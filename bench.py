@@ -208,6 +208,7 @@ def main() -> None:
     # extras: timed the same way (min-of-REPEATS, library defaults) but
     # NOT summed into the headline, so `value` stays comparable with the
     # r1/r2 query set while newer operators still ship perf evidence
+    from astrospark.ops import curation as _curation
     from astrospark.ops import dedup as _dedup
     from astrospark.ops import text as _text
 
@@ -218,6 +219,7 @@ def main() -> None:
         "decontaminate_ngram": _text.decontaminate_ngram,
         "sample_stratified": _text.sample_stratified,
         "dedup_keep_best": _dedup.dedup_keep_best,
+        "corpus_curation": _curation.corpus_curation,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -126,6 +126,11 @@ NOTES = {
         "training grams — no shuffle on the gram key; the only exchange is "
         "the doc_id-keyed count of matched grams, bounded by match volume."
     ),
+    "corpus_curation": (
+        "The composed 4-stage selection plans as LEFT SEMI joins over one "
+        "documents scan — no row multiplication, stage probes all "
+        "doc_id-keyed (bucketable to exchange-free at scale)."
+    ),
     "dedup_keep_best": (
         "Longest-wins canonical selection: cluster labels join back to "
         "the corpus on doc_id (bucketable at scale), then ONE window "
