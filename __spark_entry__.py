@@ -117,7 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
         ),
-        "corpus_curation": curation.corpus_curation,
+        "corpus_curation": lambda spark, sf_dir: curation.corpus_curation(
+            spark, sf_dir, max_bucket=None
+        ),
         # training-data pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,

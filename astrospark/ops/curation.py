@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from astrospark.ops.dedup import dedup_keep_best
+from astrospark.ops.dedup import MAX_BUCKET_DEFAULT, dedup_keep_best
 from astrospark.ops.text import (
     decontaminate_ngram,
     repetition_filters,
@@ -38,11 +38,13 @@ from astrospark.ops.text import (
 
 
 def corpus_curation(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = MAX_BUCKET_DEFAULT
 ) -> DataFrame:
     """Run the four-stage selection; returns the kept documents
     (doc_id, lang, n_chars). ``max_bucket`` passes through to the dedup
-    stage (None = exhaustive oracle semantics; bounded in production)."""
+    stage — BOUNDED by default (the production/scale setting, like every
+    dedup entry point); the driver contract pins ``max_bucket=None`` for
+    exhaustive oracle semantics, contract-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
     )

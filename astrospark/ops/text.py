@@ -223,8 +223,13 @@ def repetition_filters(spark, sf_dir) -> DataFrame:
       map-side partial aggregation → per-doc max — never a per-row
       O(n²) scan, so million-token documents cost two bounded shuffles.
     - ``dup_trigram_frac`` — fraction of word 3-gram occurrences that
-      are repeats (1 − distinct/total). Entirely in-row (higher-order
-      transform + array_distinct), no shuffle at all.
+      are repeats (1 − distinct/total). Same explode → agg shape
+      (count + count_distinct per doc). An earlier in-row version
+      (transform + array_distinct) was dropped: array_distinct is
+      quadratic per document and the expression tree gets re-evaluated
+      per referencing column, which measured ~20s for 5k docs at sf0.1
+      vs <1s for the explode path — and a million-token doc would make
+      the in-row version quadratic-blow-up where explode stays linear.
     - ``rep_flagged`` — 1 iff either measure crosses its Gopher
       threshold; downstream selection is ``WHERE rep_flagged = 0``.
 
@@ -249,23 +254,23 @@ def repetition_filters(spark, sf_dir) -> DataFrame:
         .agg(F.max(F.col("cnt") * F.length("bg")).alias("top_bg_chars"))
     )
 
-    trigrams = F.when(
-        nw >= 3,
-        F.transform(
-            F.sequence(F.lit(1), nw - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_tri = F.size(trigrams)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), nw - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    tri_stats = (
+        d.filter(nw >= 3)
+        .select("doc_id", F.explode(trigrams).alias("tg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count_distinct("tg").alias("n_tri_d"),
+        )
+    )
     dup_tri = F.when(
-        n_tri > 0,
+        F.col("n_tri").isNotNull(),
         F.round(
-            (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri, 4
+            (F.col("n_tri") - F.col("n_tri_d")).cast("double") / F.col("n_tri"), 4
         ),
     ).otherwise(F.lit(0.0))
 
@@ -278,6 +283,7 @@ def repetition_filters(spark, sf_dir) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return (
         d.join(exploded, "doc_id", "left")
+        .join(tri_stats, "doc_id", "left")
         .select(
             "doc_id",
             top_bg.alias("top_bigram_char_frac"),

@@ -115,11 +115,11 @@ NOTES = {
         "cosine); only the query's cell is scanned at probe time."
     ),
     "repetition_filters": (
-        "Gopher repetition rules: trigram dup-fraction is in-row "
-        "(higher-order transform + array_distinct, fused on the scan); the "
-        "bigram char-coverage path is explode → partial-agg count → per-doc "
-        "max — two doc_id-keyed shuffles bounded by corpus size, never a "
-        "pairwise self-join."
+        "Gopher repetition rules: bigram char-coverage AND trigram "
+        "dup-fraction both run explode → partial-agg → per-doc stats — "
+        "doc_id-keyed shuffles linear in gram volume, never a pairwise "
+        "self-join (an in-row array_distinct variant was quadratic per "
+        "document and re-evaluated per column; replaced after measurement)."
     ),
     "decontaminate_ngram": (
         "Eval-set n-grams (tiny vs the corpus) broadcast to the exploded "

@@ -18,7 +18,9 @@ def test_curation_is_stage_intersection(spark):
         sample_stratified,
     )
 
-    kept = {r.doc_id for r in corpus_curation(spark, SF_DIR).collect()}
+    # max_bucket=None on BOTH sides so the intersection identity holds
+    # regardless of whether the bounded default drops any bucket
+    kept = {r.doc_id for r in corpus_curation(spark, SF_DIR, max_bucket=None).collect()}
     sampled = {r.doc_id for r in sample_stratified(spark, SF_DIR).collect()}
     clean = {
         r.doc_id
