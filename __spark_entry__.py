@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, max_bucket=None
         ),
         "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
+        "semantic_dedup": lambda spark, sf_dir: similarity.semantic_dedup(
+            spark, sf_dir, max_cell=None
+        ),
     }
 
 
@@ -590,11 +593,13 @@ def _simhash64_pairs_sql() -> str:
     )
 
 
-def _ivf_kmeans_sql() -> str:
-    """Unrolled deterministic Lloyd k-means (KM_ITERS fixed steps) — every
+def _kmeans_cell_ctes() -> list[str]:
+    """CTE prefix replaying the deterministic Lloyd k-means (KM_ITERS
+    unrolled fixed steps) down to `cell AS (vec_id, cid)` — every
     intermediate is exact-integer or a single IEEE op, so the iteration
-    replays bit-for-bit against the Spark implementation."""
-    from astrospark.ops.similarity import KM_ITERS, N_CENTROIDS, QUANT_SCALE, TOP_K
+    replays bit-for-bit against the Spark implementation. Shared by the
+    IVF probe and semantic-dedup oracles."""
+    from astrospark.ops.similarity import KM_ITERS, N_CENTROIDS, QUANT_SCALE
 
     ctes = [
         "dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)",
@@ -630,6 +635,13 @@ def _ivf_kmeans_sql() -> str:
         f"sqrt(list_dot_product(c.qc, c.qc)) AS s FROM qv v, {prev} c))"
     )
     ctes.append("cell AS (SELECT vec_id, cid FROM fa WHERE rn = 1)")
+    return ctes
+
+
+def _ivf_kmeans_sql() -> str:
+    from astrospark.ops.similarity import TOP_K
+
+    ctes = _kmeans_cell_ctes()
     ctes.append("qq AS (SELECT cid FROM cell WHERE vec_id = 0)")
     ctes.append("qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)")
     return (
@@ -639,6 +651,29 @@ def _ivf_kmeans_sql() -> str:
         "FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id, qq, qe "
         "WHERE cell.cid = qq.cid AND e.vec_id <> 0 "
         f"ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """Fixed-order SemDeDup over the replayed k-means cells: drop iff a
+    lower-vec_id cell-mate sits at (4-decimal-rounded) cosine ≥ tau —
+    identical decision arithmetic to ops/similarity.semantic_dedup."""
+    from astrospark.ops.similarity import NEARDUP_COS
+
+    ctes = _kmeans_cell_ctes()
+    ctes.append(
+        "drops AS (SELECT DISTINCT b.vec_id FROM cell a "
+        "JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        "WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], "
+        f"eb.embedding::DOUBLE[]), 4) >= {NEARDUP_COS})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT c.vec_id, CAST(c.cid AS INT) AS cell, "
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept "
+        "FROM cell c LEFT JOIN drops d ON d.vec_id = c.vec_id"
     )
 
 
@@ -817,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

@@ -653,3 +653,90 @@ def emb_neardup_pairs(spark, sf_dir) -> DataFrame:
         ).alias("cos_sim"),
     )
     return sims.filter(F.col("cos_sim") >= NEARDUP_COS)
+
+
+SEMDEDUP_MAX_CELL = 4000  # same bounded-bucket spirit as RP_MAX_BUCKET
+
+
+def semantic_dedup(
+    spark,
+    sf_dir,
+    tau: float = NEARDUP_COS,
+    max_cell: int | None = SEMDEDUP_MAX_CELL,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its trained k-means cell
+    (the deterministic coarse quantizer behind ``ann_ivf_kmeans_topk``),
+    then inside each cell drop every vector that has an earlier (lower
+    vec_id) cell-mate at cosine ≥ ``tau``. Output is corpus-wide:
+    (vec_id, cell, is_kept) — the kept set is the semantically deduped
+    corpus, and the per-cell accounting stays visible.
+
+    The keep rule is the fixed-order variant of the paper's per-cluster
+    dedup: deterministic (no random representative), exactly
+    SQL-expressible (drop iff ∃ lower-id neighbor ≥ tau), and
+    independent of execution order.
+
+    Scale shape: candidate pairs NEVER cross cells — after the
+    (broadcast-centroid) assignment, ONE shuffle keyed by cell builds
+    sorted posting lists and pairs expand JVM-side from them, exactly
+    the dedup_minhash_lsh shape. In production k grows with the corpus
+    so cells stay ~fixed-size; a cell that still exceeds ``max_cell``
+    is routed out of the pairwise and its members are conservatively
+    KEPT (bounded-bucket guard; the driver contract pins
+    ``max_cell=None`` for exhaustive oracle semantics, contract-only).
+    The threshold compares the 4-decimal-rounded cosine so the DuckDB
+    replay is decision-identical.
+    """
+    member = (
+        kmeans_cells(spark, sf_dir)
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell")
+    )
+    pair_src = member
+    if max_cell is not None:
+        small = (
+            member.groupBy("cell")
+            .agg(F.count_distinct("vec_id").alias("sz"))
+            .filter((F.col("sz") >= 2) & (F.col("sz") <= max_cell))
+            .select("cell")
+        )
+        pair_src = member.join(small, "cell")
+    pairs_expr = (
+        "flatten(transform(vs, (a, i) -> "
+        "transform(slice(vs, i + 2, size(vs)), "
+        "b -> named_struct('vec_a', a, 'vec_b', b))))"
+    )
+    pairs = (
+        pair_src.groupBy("cell")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+        .filter(F.size("vs") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+    )
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+        .withColumn("nrm", _norm(F.col("emb_d")))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    drops = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return member.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.when(F.col("dropped").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+    )

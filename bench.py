@@ -215,6 +215,7 @@ def main() -> None:
 
     from astrospark.ops import curation as _curation
     from astrospark.ops import dedup as _dedup
+    from astrospark.ops import similarity as _similarity
     from astrospark.ops import text as _text
 
     def force_values(df) -> None:
@@ -229,6 +230,7 @@ def main() -> None:
         "sample_stratified": _text.sample_stratified,
         "dedup_keep_best": _dedup.dedup_keep_best,
         "corpus_curation": _curation.corpus_curation,
+        "semantic_dedup": _similarity.semantic_dedup,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -126,6 +126,13 @@ NOTES = {
         "training grams — no shuffle on the gram key; the only exchange is "
         "the doc_id-keyed count of matched grams, bounded by match volume."
     ),
+    "semantic_dedup": (
+        "SemDeDup over trained k-means cells: assignment is broadcast-"
+        "centroid scoring (no vector-vs-vector shuffle); pairs expand "
+        "JVM-side from cell-keyed sorted posting lists (ONE shuffle on "
+        "cell, max_cell-bounded like the LSH buckets), then precomputed-"
+        "norm exact-cosine verify and a left join back for is_kept."
+    ),
     "corpus_curation": (
         "The composed 4-stage selection plans as LEFT SEMI joins over one "
         "documents scan — no row multiplication, stage probes all "

@@ -276,3 +276,60 @@ def test_dedup_keep_best_longest_wins(spark):
     # longest member is not its min-id member) — guards against the
     # keep_best column degenerating into a copy of is_canonical
     assert any(r.keep_best != r.is_canonical for r in rows)
+
+
+def test_semantic_dedup_matches_numpy_rule(spark):
+    """The fixed-order SemDeDup keep rule recomputed independently in
+    numpy float64 (cells taken from the already-verified kmeans_cells):
+    dropped iff some lower-vec_id cell-mate sits at round(cos, 4) ≥ tau."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from astrospark.ops import similarity as sim
+
+    got = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in sim.semantic_dedup(spark, SF_DIR, max_cell=None).collect()
+    }
+    member = {
+        r.vec_id: r.cell
+        for r in sim.kmeans_cells(spark, SF_DIR).filter("rnk = 1").collect()
+    }
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_pylist()
+    vec = dict(zip(ids, V))
+    assert set(got) == set(ids)
+    n_dropped = 0
+    for vid in ids:
+        cellmates = [u for u in ids if member[u] == member[vid] and u < vid]
+        dropped = any(
+            np.round(
+                float(vec[u] @ vec[vid])
+                / (np.linalg.norm(vec[u]) * np.linalg.norm(vec[vid])),
+                4,
+            )
+            >= sim.NEARDUP_COS
+            for u in cellmates
+        )
+        assert got[vid] == (member[vid], 0 if dropped else 1), vid
+        n_dropped += dropped
+    assert n_dropped > 0  # the corpus actually exercises the drop path
+
+
+def test_semantic_dedup_bounded_cells_conservatively_keep(spark):
+    """max_cell routes oversized cells out of the pairwise: at max_cell=1
+    every multi-member cell is skipped and the whole corpus is kept; at
+    the shipped default (no cell near the bound at this sf) the result
+    equals the exhaustive max_cell=None run."""
+    from astrospark.ops import similarity as sim
+
+    all_kept = sim.semantic_dedup(spark, SF_DIR, max_cell=1)
+    assert all_kept.filter("is_kept = 0").count() == 0
+
+    def as_set(df):
+        return {(r.vec_id, r.cell, r.is_kept) for r in df.collect()}
+
+    assert as_set(sim.semantic_dedup(spark, SF_DIR)) == as_set(
+        sim.semantic_dedup(spark, SF_DIR, max_cell=None)
+    )
