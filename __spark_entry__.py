@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": text.repetition_filters,
         "decontaminate_ngram": text.decontaminate_ngram,
         "sample_stratified": text.sample_stratified,
+        "pack_sequences": text.pack_sequences,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -393,6 +394,28 @@ def _sample_sql() -> str:
         f"u AS (SELECT doc_id, lang, {u32} AS u32 FROM hashed) "
         "SELECT doc_id, lang, round(u32 / 4294967296.0, 6) AS sample_u FROM u "
         f"WHERE u32 < (CASE lang {cases} ELSE {int(SAMPLE_DEFAULT_RATE * _U32)} END)"
+    )
+
+
+def _pack_sequences_sql() -> str:
+    """Same md5-nibble shard hash + integer window cumsum as the Spark
+    side — every step exact integer arithmetic, so the window replay is
+    bit-identical."""
+    from astrospark.ops.text import PACK_CTX, PACK_SHARDS
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    u32 = " + ".join(f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return (
+        "WITH hashed AS (SELECT doc_id, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tok, "
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+        f"s AS (SELECT doc_id, n_tok, ({u32}) % {PACK_SHARDS} AS shard FROM hashed), "
+        "c AS (SELECT doc_id, shard, n_tok, "
+        "sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
+        "SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tok AS INT) AS n_tok, "
+        f"CAST(floor((cum - n_tok) / {PACK_CTX}) AS INT) AS start_block, "
+        f"CAST(floor((cum - 1) / {PACK_CTX}) AS INT) AS end_block FROM c"
     )
 
 
@@ -745,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": _repetition_sql(),
         "decontaminate_ngram": _decontaminate_sql(),
         "sample_stratified": _sample_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -451,3 +451,54 @@ def fingerprint_rolling(spark, sf_dir) -> DataFrame:
         lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
     )
     return d.select("doc_id", fp.cast("bigint").alias("roll_fp"))
+
+
+# packing params: context length of a training block and the shard count
+# of the salted packing streams (production scales PACK_SHARDS with the
+# corpus so each shard stays a bounded, independently-sortable stream)
+PACK_CTX = 2048
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark, sf_dir, ctx: int = PACK_CTX, shards: int = PACK_SHARDS) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-style pretraining
+    layout: documents are concatenated in a deterministic order and cut
+    into fixed ``ctx``-token blocks; each document learns which block
+    range it lands in (start_block..end_block of its shard's stream).
+
+    Order is NOT global: a single totally-ordered cumsum would funnel
+    10^12 rows through one sort. Instead each document hashes to one of
+    ``shards`` independent streams (first 32 md5 bits of doc_id — the
+    sample_stratified hash-uniform construction, so placement is a pure
+    function of doc_id, reproducible under task retries), and the running
+    token total is a window cumsum per shard ordered by doc_id. Scale
+    shape: ONE shuffle keyed by shard + a within-shard sort; production
+    grows ``shards`` with the corpus so every stream stays bounded, and
+    the window never crosses shard boundaries. Token counts use the T1
+    whitespace formulation; every step is exact integer arithmetic, so
+    the DuckDB window replay is bit-identical.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n_tok = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    ).cast("long")
+    shard = _hex32(F.md5(F.col("doc_id").cast("string"))) % shards
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = d.select(
+        "doc_id", shard.cast("int").alias("shard"), n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return staged.select(
+        "doc_id",
+        "shard",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.floor((F.col("cum") - F.col("n_tok")) / ctx).cast("int").alias("start_block"),
+        F.floor((F.col("cum") - 1) / ctx).cast("int").alias("end_block"),
+    )

@@ -228,6 +228,7 @@ def main() -> None:
         "repetition_filters": _text.repetition_filters,
         "decontaminate_ngram": _text.decontaminate_ngram,
         "sample_stratified": _text.sample_stratified,
+        "pack_sequences": _text.pack_sequences,
         "dedup_keep_best": _dedup.dedup_keep_best,
         "corpus_curation": _curation.corpus_curation,
         "semantic_dedup": _similarity.semantic_dedup,

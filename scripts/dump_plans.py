@@ -149,6 +149,12 @@ NOTES = {
         "zero exchanges, keep decision a pure function of (doc_id, lang) "
         "— reproducible under task retries, unlike rand()-based sampling."
     ),
+    "pack_sequences": (
+        "Sequence packing avoids the global-sort funnel: docs hash to "
+        "independent shard streams, the token cumsum is a per-shard "
+        "window — ONE hashpartitioning Exchange, no rangepartitioning, "
+        "shard count scales with the corpus."
+    ),
     "b1_boilerplate_strip": (
         "Main-content extraction is a pure projection: split + higher-order "
         "filter + join run fused on the scan output — no UDF, no shuffle, "

@@ -162,3 +162,83 @@ def test_no_cross_product_in_plan(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_python_replay(spark):
+    """Full scalar replay of the packing layout: shard hash, per-shard
+    cumsum, block arithmetic — all exact integers, recomputed with
+    hashlib + a dict of running totals."""
+    import hashlib
+
+    from astrospark.ops.text import PACK_CTX, PACK_SHARDS, pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected = {}
+    running = [0] * PACK_SHARDS
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        n_tok = r.text.count(" ") + 1
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        shard = int(h[:8], 16) % PACK_SHARDS
+        running[shard] += n_tok
+        cum = running[shard]
+        expected[r.doc_id] = (
+            shard,
+            n_tok,
+            (cum - n_tok) // PACK_CTX,
+            (cum - 1) // PACK_CTX,
+        )
+
+    got = {
+        r.doc_id: (r.shard, r.n_tok, r.start_block, r.end_block)
+        for r in pack_sequences(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_pack_sequences_block_invariants(spark):
+    """Blocks tile each shard stream with no gaps: within a shard, doc
+    k+1 continues exactly where doc k's tokens ended (cum carries over),
+    and end_block >= start_block always."""
+    from collections import defaultdict
+
+    from astrospark.ops.text import pack_sequences
+
+    rows = pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1  # hash actually spreads the streams
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in members:
+            assert r.end_block >= r.start_block
+            # replay the stream: this doc spans (cum, cum + n_tok]
+            assert r.start_block == cum // 2048 if r.n_tok > 0 else True
+            cum += r.n_tok
+            assert r.end_block == (cum - 1) // 2048
+
+
+def test_pack_sequences_single_exchange(spark):
+    """ONE shuffle (the shard window partition), nothing else — the
+    global-sort funnel the docstring forbids would show a rangepartitioning
+    Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from astrospark.ops.text import pack_sequences
+
+    df = pack_sequences(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # formatted mode prints each node twice (tree line + detail header)
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
