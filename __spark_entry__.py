@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": text.decontaminate_ngram,
         "sample_stratified": text.sample_stratified,
         "pack_sequences": text.pack_sequences,
+        "importance_weights": text.importance_weights,
+        "source_quality_gate": text.source_quality_gate,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -138,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_event_windows": events.w1_event_windows,
         "w2_user_sessions": events.w2_user_sessions,
         "f_json_extract": events.f_json_extract,
+        "asof_attribution": events.asof_attribution,
         # multimodal plumbing (decode stub rows-only; plans SQL-checked)
         "m_resize_plan": multimodal.m_resize_plan,
         "m_frame_sample": multimodal.m_frame_sample,
@@ -394,6 +397,47 @@ def _sample_sql() -> str:
         f"u AS (SELECT doc_id, lang, {u32} AS u32 FROM hashed) "
         "SELECT doc_id, lang, round(u32 / 4294967296.0, 6) AS sample_u FROM u "
         f"WHERE u32 < (CASE lang {cases} ELSE {int(SAMPLE_DEFAULT_RATE * _U32)} END)"
+    )
+
+
+def _importance_sql() -> str:
+    """Same md5-nibble u16 bucket + exact integer add-one ratio weights as
+    the Spark side — no float logs anywhere, so per-doc sums are
+    order-free and bit-identical across engines."""
+    from astrospark.ops.text import DECON_EVAL_MOD, DSIR_SCALE
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    u16 = " + ".join(f"{nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    mod = DECON_EVAL_MOD
+    return (
+        "WITH wd AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h "
+        "FROM documents), "
+        f"b AS (SELECT doc_id, {u16} AS bucket, "
+        f"CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END AS is_tgt FROM wd), "
+        "cnt AS (SELECT bucket, sum(is_tgt) AS t_cnt, sum(1 - is_tgt) AS r_cnt "
+        "FROM b GROUP BY bucket), "
+        f"wt AS (SELECT bucket, (t_cnt + 1) * {DSIR_SCALE} // (r_cnt + 1) AS wt FROM cnt), "
+        "s AS (SELECT doc_id, count(*) AS n_words, sum(wt) AS importance "
+        "FROM b JOIN wt USING (bucket) WHERE is_tgt = 0 GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+        "CAST(importance AS BIGINT) AS importance, "
+        "CAST(importance // n_words AS BIGINT) AS importance_avg FROM s"
+    )
+
+
+def _source_gate_sql() -> str:
+    """Integer sum >= threshold * count compare (never a float mean), same
+    rule as the Spark side; the rounded mean divides identical operands."""
+    from astrospark.ops.text import SRC_MIN_MEAN_CHARS
+
+    return (
+        "WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        "FROM documents GROUP BY source), "
+        "v AS (SELECT source, CAST(n_docs AS INT) AS src_docs, "
+        "round(sum_chars / n_docs, 4) AS src_mean_chars, "
+        f"CAST(sum_chars >= {SRC_MIN_MEAN_CHARS} * n_docs AS INT) AS src_kept FROM s) "
+        "SELECT d.doc_id, d.source, v.src_docs, v.src_mean_chars, v.src_kept "
+        "FROM documents d JOIN v USING (source)"
     )
 
 
@@ -769,6 +813,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _decontaminate_sql(),
         "sample_stratified": _sample_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "importance_weights": _importance_sql(),
+        "source_quality_gate": _source_gate_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (
@@ -815,6 +861,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
             "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        # DuckDB's native ASOF LEFT JOIN replays the union+window
+        # composition: greatest click ts <= purchase ts per user,
+        # inclusive at ties, clicks pre-collapsed per (user_id, ts)
+        "asof_attribution": (
+            "WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts), "
+            "p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.purchase_id, p.user_id, "
+            "CAST(coalesce(c.click_id, -1) AS BIGINT) AS click_id, "
+            "CAST(coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS gap_us "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         # golden-value oracle: the interleaved fixture corpus (150 docs,
         # seed 42) is deterministic, so the expected per-kind span counts

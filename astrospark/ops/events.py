@@ -57,3 +57,73 @@ def f_json_extract(spark, sf_dir) -> DataFrame:
             F.max(k).cast("int").alias("max_k"),
         )
     )
+
+
+def asof_attribution(spark, sf_dir) -> DataFrame:
+    """As-of join: attribute every purchase to the user's most recent
+    click at-or-before it (last-touch attribution) — the point-in-time
+    join Spark has no native operator for, composed as union + ordered
+    window instead of the naive per-user join-then-filter.
+
+    Shape: clicks and purchases UNION into one stream tagged by role,
+    shuffle ONCE on user_id, and a single ordered window pass carries
+    the last click forward (``last(..., ignorenulls)`` over rows
+    unbounded-preceding..current). Ordering is (event time, role) with
+    clicks first, so a click at the purchase's exact instant matches —
+    the inclusive ``ts_click <= ts_purchase`` ASOF semantic. The naive
+    alternative (join all clicks to all purchases per user, keep max)
+    multiplies rows by per-user click counts and melts on power users;
+    the union+window shape is linear per user and sort-merges at scale.
+
+    Clicks are pre-collapsed to one row per (user_id, ts) (max event_id)
+    so the as-of winner at a tied instant is well-defined in both
+    engines; the DuckDB oracle replays with its native ASOF LEFT JOIN.
+    Times compare as microsecond integers (timezone-free differences);
+    purchases with no prior click keep NULL-free sentinels (-1).
+    """
+    e = _events(spark, sf_dir)
+    # parquet ts loads as TIMESTAMP_NTZ; only *differences* of t_us are
+    # emitted, so the session-TZ offset introduced by the cast cancels
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            t_us.alias("t_us"),
+            "click_id",
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        t_us.alias("t_us"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    stream = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click_id = F.last("click_id", ignorenulls=True).over(w)
+    last_click_t = F.last(
+        F.when(F.col("is_probe") == 0, F.col("t_us")), ignorenulls=True
+    ).over(w)
+    return (
+        stream.withColumn("lc_id", last_click_id)
+        .withColumn("lc_t", last_click_t)
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("lc_id", F.lit(-1)).cast("bigint").alias("click_id"),
+            F.coalesce(F.col("t_us") - F.col("lc_t"), F.lit(-1))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )

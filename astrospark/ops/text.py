@@ -502,3 +502,105 @@ def pack_sequences(spark, sf_dir, ctx: int = PACK_CTX, shards: int = PACK_SHARDS
         F.floor((F.col("cum") - F.col("n_tok")) / ctx).cast("int").alias("start_block"),
         F.floor((F.col("cum") - 1) / ctx).cast("int").alias("end_block"),
     )
+
+
+# DSIR importance-weight params: hashed-unigram buckets (2^16 — the
+# bucket-weight table stays broadcastable at any corpus size) and the
+# integer quantization scale for the target/raw ratio. The "target"
+# distribution is the DECON eval split (doc_id % DECON_EVAL_MOD == 0),
+# standing in for the high-quality domain sample a real DSIR run fits.
+DSIR_SCALE = 1_000_000
+
+
+def importance_weights(spark, sf_dir) -> DataFrame:
+    """DSIR-style data selection with hashed n-gram importance weights
+    (Xie et al. 2023): score every raw document by how target-like its
+    hashed-unigram distribution is, so selection can keep the top mass.
+
+    Each word hashes to one of 2^16 buckets (first 16 md5 bits — the
+    simhash16 construction, identical in both engines). Bucket weight is
+    the add-one-smoothed target/raw count ratio, quantized to an exact
+    integer ``(t+1)*SCALE div (r+1)`` — no float logs, so the per-doc sum
+    is order-free and the DuckDB replay is bit-identical (float log-ratio
+    sums would drift between engines' reduction orders). A document's
+    importance is the sum of its words' bucket weights; ``importance_avg``
+    (per-word integer mean) is the length-normalized selection key.
+
+    Scale shape: bucket counting is ONE shuffle on a 2^16-key space
+    (map-side combine collapses 10^12 words to <=65536 rows per task);
+    the weight table then BROADCASTS back to the exploded word stream, so
+    scoring shuffles only on doc_id for the final per-doc sum. Nothing
+    global, nothing driver-side.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    b = words.select(
+        "doc_id",
+        _word_hash16(F.col("w")).alias("bucket"),
+        (F.col("doc_id") % DECON_EVAL_MOD == 0).cast("long").alias("is_tgt"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum("is_tgt").alias("t_cnt"),
+        F.sum(F.lit(1) - F.col("is_tgt")).alias("r_cnt"),
+    )
+    weights = counts.select(
+        "bucket",
+        F.expr(f"(t_cnt + 1) * {DSIR_SCALE} div (r_cnt + 1)").alias("wt"),
+    )
+    scored = (
+        b.filter(F.col("is_tgt") == 0)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("wt").cast("bigint").alias("importance"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "importance",
+        F.expr("importance div n_words").cast("bigint").alias("importance_avg"),
+    )
+
+
+# source-level gate: drop whole sources whose mean document length falls
+# below this floor — the domain/host-level filter (spam hosts, boilerplate
+# mirrors) applied before per-document scoring in web-corpus pipelines
+SRC_MIN_MEAN_CHARS = 280
+
+
+def source_quality_gate(spark, sf_dir) -> DataFrame:
+    """Domain-level quality gating: aggregate a quality statistic per
+    source (here mean document length; richer per-doc scores from
+    quality_score slot into the same agg) and keep/drop every document
+    of a source together — the host-level pass (UT1 blocklists, spam
+    domains, low-quality mirrors) that precedes per-document filters in
+    web-corpus curation.
+
+    The keep decision compares exact integers — ``sum_chars >=
+    SRC_MIN_MEAN_CHARS * n_docs`` — never a float mean, so boundary
+    sources resolve identically in both engines; the reported
+    ``src_mean_chars`` is display-only rounding of identical operands.
+
+    Scale shape: ONE shuffle keyed by source with map-side combine (the
+    source dimension is tiny — hosts number millions, not trillions);
+    the per-source verdict table then BROADCASTS back onto the corpus
+    scan, so per-doc gating costs no second corpus shuffle.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    verdict = src.select(
+        "source",
+        F.col("n_docs").cast("int").alias("src_docs"),
+        F.round(F.col("sum_chars") / F.col("n_docs"), 4).alias("src_mean_chars"),
+        (F.col("sum_chars") >= F.lit(SRC_MIN_MEAN_CHARS) * F.col("n_docs"))
+        .cast("int")
+        .alias("src_kept"),
+    )
+    return d.select("doc_id", "source").join(F.broadcast(verdict), "source").select(
+        "doc_id", "source", "src_docs", "src_mean_chars", "src_kept"
+    )

@@ -215,6 +215,7 @@ def main() -> None:
 
     from astrospark.ops import curation as _curation
     from astrospark.ops import dedup as _dedup
+    from astrospark.ops import events as _events
     from astrospark.ops import similarity as _similarity
     from astrospark.ops import text as _text
 
@@ -232,6 +233,9 @@ def main() -> None:
         "dedup_keep_best": _dedup.dedup_keep_best,
         "corpus_curation": _curation.corpus_curation,
         "semantic_dedup": _similarity.semantic_dedup,
+        "importance_weights": _text.importance_weights,
+        "source_quality_gate": _text.source_quality_gate,
+        "asof_attribution": _events.asof_attribution,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -177,6 +177,23 @@ NOTES = {
         "Single shuffle on user_id serves BOTH the lag window and the "
         "final aggregation (Catalyst reuses the partitioning)."
     ),
+    "importance_weights": (
+        "DSIR scoring: bucket counting is one Exchange on the 2^16-key "
+        "bucket space with partial aggregation; the weight table (<=65536 "
+        "rows) comes back via BroadcastExchange → BroadcastHashJoin onto "
+        "the exploded word stream, so scoring shuffles only on doc_id."
+    ),
+    "source_quality_gate": (
+        "Host-level gate: one partial-agg Exchange keyed by source (tiny "
+        "dimension), the verdict table broadcasts back onto the corpus "
+        "scan — the per-doc gating pass never reshuffles the corpus."
+    ),
+    "asof_attribution": (
+        "As-of join as union + ordered window: clicks and purchases union "
+        "into one stream, ONE hashpartitioning on user_id feeds the "
+        "last-click carry-forward window — no join node at all, so no "
+        "per-user row multiplication and no range partitioning."
+    ),
 }
 
 
