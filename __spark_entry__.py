@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda spark, sf_dir: similarity.semantic_dedup(
             spark, sf_dir, max_cell=None
         ),
+        # product quantization: trained per-subspace codebooks compress
+        # each vector to PQ_M codes; ADC scores from codes alone
+        "pq_codes": similarity.pq_codes,
+        "ann_pq_topk": similarity.ann_pq_topk,
     }
 
 
@@ -721,6 +725,88 @@ def _ivf_kmeans_sql() -> str:
     )
 
 
+def _pq_d2(a: str, b: str) -> str:
+    """Squared L2 between quantized integer lists via the three-dot
+    identity (DuckDB has no zip_with): every term is an integer-valued
+    double ≪ 2^53, so the value equals Spark's exact long zip-fold."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) "
+        f"+ list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_ctes() -> list[str]:
+    """CTE prefix replaying the per-subspace PQ Lloyd training (PQ_ITERS
+    unrolled) down to `enc AS (vec_id, m, code)` + the final codebook
+    `cb{N}` — the same bit-exact construction as _kmeans_cell_ctes, keyed
+    by (vec_id, m) so all PQ_M subspaces train in one replay."""
+    from astrospark.ops.similarity import PQ_ITERS, PQ_K, PQ_M, QUANT_SCALE
+
+    ctes = [
+        "dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)",
+        "qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x * {QUANT_SCALE})) AS q FROM embeddings)",
+        "sv AS (SELECT vec_id, p.m, "
+        f"list_slice(q, p.m * (dim // {PQ_M}) + 1, (p.m + 1) * (dim // {PQ_M})) AS sq "
+        f"FROM qv, dims, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) p)",
+        f"cb0 AS (SELECT m, vec_id AS code, sq AS qc FROM sv "
+        f"WHERE vec_id BETWEEN 1 AND {PQ_K})",
+    ]
+    prev = "cb0"
+    for it in range(1, PQ_ITERS + 1):
+        a, u, c = f"pa{it}", f"pu{it}", f"cb{it}"
+        ctes.append(
+            f"{a} AS (SELECT vec_id, m, code, sq, row_number() OVER "
+            "(PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn FROM "
+            "(SELECT v.vec_id, v.m, c.code, v.sq, "
+            f"{_pq_d2('v.sq', 'c.qc')} AS d FROM sv v JOIN {prev} c USING (m)))"
+        )
+        ctes.append(
+            f"{u} AS (SELECT a.m, a.code, p.i, floor(avg(a.sq[p.i])) AS comp "
+            f"FROM (SELECT m, code, sq FROM {a} WHERE rn = 1) a, "
+            f"(SELECT unnest(generate_series(1, dim // {PQ_M})) AS i FROM dims) p "
+            "GROUP BY a.m, a.code, p.i)"
+        )
+        ctes.append(
+            f"{c} AS (SELECT cb.m, cb.code, coalesce(nu.qc_new, cb.qc) AS qc "
+            f"FROM {prev} cb LEFT JOIN (SELECT m, code, list(comp ORDER BY i) "
+            f"AS qc_new FROM {u} GROUP BY m, code) nu USING (m, code))"
+        )
+        prev = c
+    ctes.append(
+        "enc AS (SELECT vec_id, m, code FROM (SELECT v.vec_id, v.m, c.code, "
+        "row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY "
+        f"{_pq_d2('v.sq', 'c.qc')} ASC, c.code ASC) AS rn "
+        f"FROM sv v JOIN {prev} c USING (m)) WHERE rn = 1)"
+    )
+    return ctes
+
+
+def _pq_codes_sql() -> str:
+    ctes = _pq_ctes()
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM enc"
+    )
+
+
+def _pq_topk_sql() -> str:
+    from astrospark.ops.similarity import PQ_ITERS, TOP_K
+
+    ctes = _pq_ctes()
+    cb = f"cb{PQ_ITERS}"
+    ctes.append(
+        f"tbl AS (SELECT c.m, c.code, {_pq_d2('q.sq', 'c.qc')} AS qd "
+        f"FROM {cb} c JOIN sv q ON q.m = c.m AND q.vec_id = 0)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist "
+        "FROM enc e JOIN tbl t USING (m, code) WHERE e.vec_id <> 0 "
+        f"GROUP BY e.vec_id ORDER BY adist ASC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
 def _semantic_dedup_sql() -> str:
     """Fixed-order SemDeDup over the replayed k-means cells: drop iff a
     lower-vec_id cell-mate sits at (4-decimal-rounded) cosine ≥ tau —
@@ -936,6 +1022,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "ann_pq_topk": _pq_topk_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

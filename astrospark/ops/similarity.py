@@ -740,3 +740,145 @@ def semantic_dedup(
         F.col("cell").cast("int").alias("cell"),
         F.when(F.col("dropped").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
     )
+
+
+# Product-quantization params: PQ_M subspaces of dim/PQ_M components
+# each, PQ_K codewords per subspace, trained by the same deterministic
+# fixed-iteration Lloyd machinery as kmeans_centroids. One vector
+# compresses to PQ_M small codes — at web scale that is the difference
+# between shipping raw float32 vectors (100 TB) and shipping ~4 bytes
+# per vector to the scoring stage.
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def _pq_subvectors(spark, sf_dir) -> DataFrame:
+    """Long-format quantized subvectors (vec_id, m, sq): the full vector
+    splits into PQ_M contiguous slices; quantization (floor(x·SCALE))
+    keeps every downstream distance an exact integer, so assignments and
+    ADC sums are engine-exact (same rationale as `quantize`)."""
+    e = _emb(spark, sf_dir)
+    dim = _emb_dim(e)
+    sub = dim // PQ_M
+    qv = quantize(F.col("embedding").cast("array<double>"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.slice(qv, m * sub + 1, sub).alias("sq")
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return (
+        e.select("vec_id", F.explode(subs).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sq").alias("sq"))
+    )
+
+
+def _pq_l2(a, b):
+    """Exact integer squared-L2 between quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(spark, sf_dir, iters: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace PQ codebooks (m, code, qc) — Lloyd k-means run on
+    every subspace AT ONCE (the subspace id rides the group key, so all
+    PQ_M trainings share one plan). Deterministic end to end: integer
+    squared-L2 assignment with code-asc tie-break, floor(avg) centroid
+    update, empty cells keep their previous codeword; the DuckDB oracle
+    replays the unrolled iterations bit-for-bit.
+
+    Scale shape: per iteration ONE broadcast join (PQ_M·PQ_K = 64
+    codewords) + ONE argmin window keyed (vec_id, m) + ONE per-(m, code)
+    partial-avg aggregation — subvectors never shuffle against each
+    other, same as the coarse k-means."""
+    from pyspark.sql import Window
+
+    sv = _pq_subvectors(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    sub = _emb_dim(e) // PQ_M
+    cents = sv.filter(F.col("vec_id").between(1, PQ_K)).select(
+        "m", F.col("vec_id").alias("code"), F.col("sq").alias("qc")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cents), "m").select(
+            "vec_id", "m", "sq", "code", _pq_l2(F.col("sq"), F.col("qc")).alias("d")
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "code", "sq")
+        )
+        upd = assign.groupBy("m", "code").agg(
+            F.array(
+                *[
+                    F.floor(F.avg(F.element_at("sq", i + 1))).cast("long")
+                    for i in range(sub)
+                ]
+            ).alias("qc_new")
+        )
+        cents = cents.join(upd, ["m", "code"], "left").select(
+            "m", "code", F.coalesce("qc_new", "qc").alias("qc")
+        )
+    return cents
+
+
+def pq_codes(spark, sf_dir) -> DataFrame:
+    """PQ encoding (vec_id, m, code): every vector compresses to PQ_M
+    nearest-codeword ids — the asymmetric-distance index payload. One
+    broadcast join (64 codewords) + one argmin window; the raw vectors
+    are read once and never shuffled, which is the whole point: the
+    persisted index is PQ_M small ints per vector, ~1000× smaller than
+    the float32 corpus it stands in for."""
+    from pyspark.sql import Window
+
+    sv = _pq_subvectors(spark, sf_dir)
+    cents = pq_codebooks(spark, sf_dir)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
+    scored = sv.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "code", _pq_l2(F.col("sq"), F.col("qc")).alias("d")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code"))
+    )
+
+
+def ann_pq_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC half of IVFADC, Jégou et
+    al. 2011): the query's exact squared-L2 to every codeword forms a
+    PQ_M×PQ_K lookup table; a database vector's approximate distance is
+    the SUM of its codes' table entries — computed entirely from the
+    compressed codes, never touching raw database vectors.
+
+    Scale shape: the distance table (64 rows) BROADCASTS onto the code
+    table; scoring is one broadcast join + one doc-keyed sum + a
+    TakeOrdered — at 10^12 vectors the scan reads PQ_M ints per vector
+    instead of the full float array, and composes with the IVF cell
+    pruning of ``ann_ivf_kmeans_topk`` for the full IVFADC layout.
+    Distances are exact integers (quantized components), so ranking and
+    ties (adist asc, vec_id asc) replay identically in DuckDB."""
+    sv = _pq_subvectors(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    cents = pq_codebooks(spark, sf_dir)
+    qsub = sv.filter(F.col("vec_id") == query_vec_id).select(
+        "m", F.col("sq").alias("q_sq")
+    )
+    table = cents.join(qsub, "m").select(
+        "m", "code", _pq_l2(F.col("q_sq"), F.col("qc")).alias("qd")
+    )
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

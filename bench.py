@@ -236,6 +236,7 @@ def main() -> None:
         "importance_weights": _text.importance_weights,
         "source_quality_gate": _text.source_quality_gate,
         "asof_attribution": _events.asof_attribution,
+        "ann_pq_topk": _similarity.ann_pq_topk,
     }.items():
         rs = []
         for _ in range(REPEATS):

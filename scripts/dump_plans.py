@@ -194,6 +194,12 @@ NOTES = {
         "last-click carry-forward window — no join node at all, so no "
         "per-user row multiplication and no range partitioning."
     ),
+    "ann_pq_topk": (
+        "PQ asymmetric-distance scoring: the 64-row query distance table "
+        "BroadcastExchanges onto the code table; ranking is a TakeOrdered "
+        "over one doc-keyed sum — raw database vectors are never read by "
+        "the scoring stage, only PQ_M small codes per vector."
+    ),
 }
 
 
