@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each vector to PQ_M codes; ADC scores from codes alone
         "pq_codes": similarity.pq_codes,
         "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
     }
 
 
@@ -807,6 +808,29 @@ def _pq_topk_sql() -> str:
     )
 
 
+def _ivfadc_sql() -> str:
+    """Coarse k-means cells + PQ encoding + ADC scoring in one replay:
+    the two CTE prefixes share identical dims/qv heads, so the PQ chain
+    appends to the k-means chain verbatim."""
+    from astrospark.ops.similarity import PQ_ITERS, TOP_K
+
+    ctes = _kmeans_cell_ctes()
+    ctes.extend(_pq_ctes()[2:])  # skip the shared dims/qv heads
+    ctes.append("qq AS (SELECT cid FROM cell WHERE vec_id = 0)")
+    ctes.append(
+        f"tbl AS (SELECT c.m, c.code, {_pq_d2('q.sq', 'c.qc')} AS qd "
+        f"FROM cb{PQ_ITERS} c JOIN sv q ON q.m = c.m AND q.vec_id = 0)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist "
+        "FROM enc e JOIN tbl t USING (m, code) "
+        "JOIN cell ON cell.vec_id = e.vec_id, qq "
+        "WHERE cell.cid = qq.cid AND e.vec_id <> 0 "
+        f"GROUP BY e.vec_id ORDER BY adist ASC, e.vec_id ASC LIMIT {TOP_K}"
+    )
+
+
 def _semantic_dedup_sql() -> str:
     """Fixed-order SemDeDup over the replayed k-means cells: drop iff a
     lower-vec_id cell-mate sits at (4-decimal-rounded) cosine ≥ tau —
@@ -1024,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _pq_topk_sql(),
+        "ann_ivfadc_topk": _ivfadc_sql(),
         "emb_neardup_pairs": (
             "WITH b AS (SELECT vec_id, embedding, " + bucket + " AS bucket FROM embeddings) "
             "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "

@@ -882,3 +882,52 @@ def ann_pq_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+def ann_ivfadc_topk(
+    spark, sf_dir, query_vec_id: int = 0, nprobe: int = 1
+) -> DataFrame:
+    """Full IVFADC retrieval (Jégou et al. 2011): IVF cell pruning
+    (the trained coarse quantizer of ``ann_ivf_kmeans_topk``) composed
+    with PQ asymmetric-distance scoring (``ann_pq_topk``) — candidates
+    come from the query's ``nprobe`` nearest cells, and are ranked from
+    their compressed PQ codes alone.
+
+    This is the memory-feasible production layout: the scoring stage
+    touches (cell, PQ_M codes) per vector — never raw floats — so a
+    10^12-vector index is a cell-partitioned code table a few bytes per
+    vector, and a probe reads only the probed cells' partitions. The
+    exact-rerank variant (ann_ivf_kmeans_topk) is the accuracy ceiling;
+    this is the footprint floor; production reranks the ADC top-R with
+    exact distances, which composes these two queries.
+
+    Every stage is the deterministic integer machinery of its parts, so
+    the DuckDB oracle replays coarse training + PQ training + encoding +
+    scoring bit-for-bit (shared CTE prefixes)."""
+    cells = kmeans_cells(spark, sf_dir)
+    member = cells.filter(F.col("rnk") == 1).select("vec_id", "cell")
+    q_cells = cells.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rnk") <= nprobe)
+    ).select(F.col("cell").alias("q_cell"))
+
+    sv = _pq_subvectors(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    cents = pq_codebooks(spark, sf_dir)
+    qsub = sv.filter(F.col("vec_id") == query_vec_id).select(
+        "m", F.col("sq").alias("q_sq")
+    )
+    table = cents.join(qsub, "m").select(
+        "m", "code", _pq_l2(F.col("q_sq"), F.col("qc")).alias("qd")
+    )
+    cand_codes = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(member, "vec_id")
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
+    )
+    return (
+        cand_codes.join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

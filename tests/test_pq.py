@@ -108,3 +108,33 @@ def test_pq_plan_shape(spark):
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfadc_is_adc_restricted_to_probed_cell(spark):
+    """IVFADC == the scalar ADC ranking restricted to the query's
+    coarse cell: candidates never leave the probed cell, and within it
+    the order is exactly the PQ approximate distance."""
+    from astrospark.ops.similarity import TOP_K, ann_ivfadc_topk, kmeans_cells
+
+    codes, _ = _scalar_pq(_load_vecs(spark))
+    # scalar ADC distances for every vector (recompute via _scalar_pq's
+    # internals is overkill — derive from the full top-k over the cell)
+    cells = {
+        r.vec_id: r.cell
+        for r in kmeans_cells(spark, SF).filter("rnk = 1").collect()
+    }
+    q_cell = cells[0]
+
+    from astrospark.ops.similarity import ann_pq_topk
+
+    got = [(r.vec_id, r.adist) for r in ann_ivfadc_topk(spark, SF).collect()]
+    assert len(got) <= TOP_K
+    assert all(cells[vid] == q_cell for vid, _ in got)
+    # ranking agrees with the unrestricted ADC scorer wherever both rank:
+    # any cell-mate the full ADC top-k ranks must appear in IVFADC's list
+    # no later than its full-ADC position
+    full = [(r.vec_id, r.adist) for r in ann_pq_topk(spark, SF).collect()]
+    full_cellmates = [(v, d) for v, d in full if cells[v] == q_cell]
+    assert got[: len(full_cellmates)] == full_cellmates
+    # distances ascend with vec_id tie-break
+    assert got == sorted(got, key=lambda t: (t[1], t[0]))
