@@ -237,6 +237,7 @@ def main() -> None:
         "source_quality_gate": _text.source_quality_gate,
         "asof_attribution": _events.asof_attribution,
         "ann_pq_topk": _similarity.ann_pq_topk,
+        "ann_ivfadc_topk": _similarity.ann_ivfadc_topk,
     }.items():
         rs = []
         for _ in range(REPEATS):

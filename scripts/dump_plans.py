@@ -200,6 +200,12 @@ NOTES = {
         "over one doc-keyed sum — raw database vectors are never read by "
         "the scoring stage, only PQ_M small codes per vector."
     ),
+    "ann_ivfadc_topk": (
+        "IVFADC: the query's probed cells and the 64-row ADC distance "
+        "table both BroadcastExchange onto the code table; candidates are "
+        "cell-pruned BEFORE scoring, so the scan cost is the probed "
+        "cells' code rows, not the corpus."
+    ),
 }
 
 
