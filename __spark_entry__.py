@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": text.pack_sequences,
         "importance_weights": text.importance_weights,
         "source_quality_gate": text.source_quality_gate,
+        "bm25_topk": text.bm25_topk,
+        "perplexity_filter": text.perplexity_filter,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -443,6 +445,88 @@ def _source_gate_sql() -> str:
         f"CAST(sum_chars >= {SRC_MIN_MEAN_CHARS} * n_docs AS INT) AS src_kept FROM s) "
         "SELECT d.doc_id, d.source, v.src_docs, v.src_mean_chars, v.src_kept "
         "FROM documents d JOIN v USING (source)"
+    )
+
+
+def _log2q_duck(x: str) -> str:
+    """DuckDB dialect of astrospark.ops.text._log2q_sql — floor(log2) from
+    the binary-string length plus 10 mantissa-interpolated fractional bits;
+    exact integers in both engines, so summed scores replay bit-for-bit."""
+    from astrospark.ops.text import LOG2Q_FBITS
+
+    b = f"(length(format('{{:b}}', {x})) - 1)"
+    msb = f"(1::BIGINT << {b})"
+    return f"({b} * {LOG2Q_FBITS} + ({x} - {msb}) * {LOG2Q_FBITS} // {msb})"
+
+
+def _bm25_sql() -> str:
+    """Integer BM25 replay: same array-expression tf/dl, 1-row stats,
+    log2q idf and 22/10-3-9 integer score quantization as the Spark side."""
+    from astrospark.ops.text import (
+        BM25_DL_SCALE,
+        BM25_QUERY,
+        BM25_RATIO_SCALE,
+        BM25_TOPK,
+        LOG2Q_FBITS,
+    )
+
+    nt = len(BM25_QUERY)
+    tf = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(nt)
+    )
+    sr = ", ".join(
+        f"(2 * n_docs + 2) * {BM25_RATIO_SCALE} // (2 * df{i} + 1) AS sr{i}"
+        for i in range(nt)
+    )
+    idf = ", ".join(
+        f"{_log2q_duck(f'sr{i}')} - {20 * LOG2Q_FBITS} AS idf{i}" for i in range(nt)
+    )
+    hit = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(nt))
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 22 * tf{i} * avgdl_q * idf{i} // "
+        f"(10 * avgdl_q * tf{i} + 3 * avgdl_q + 9 * dl * {BM25_DL_SCALE}) "
+        "ELSE 0 END)"
+        for i in range(nt)
+    )
+    return (
+        f"WITH per AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf} "
+        "FROM documents), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(dl) AS BIGINT) AS sum_dl, {df} FROM per), "
+        f"sr AS (SELECT sum_dl * {BM25_DL_SCALE} // n_docs AS avgdl_q, {sr} FROM st), "
+        f"idf AS (SELECT avgdl_q, {idf} FROM sr), "
+        f"sc AS (SELECT doc_id, CAST({hit} AS INT) AS n_hit, "
+        f"CAST({score} AS BIGINT) AS bm25 FROM per, idf) "
+        "SELECT doc_id, n_hit, bm25 FROM sc WHERE n_hit > 0 "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}"
+    )
+
+
+def _ppl_sql() -> str:
+    """Unigram-LM surprisal replay — add-one counts, log2q fixed point,
+    integer mean and keep flag identical to the Spark side."""
+    from astrospark.ops.text import LOG2Q_FBITS, PPL_MAX_XENT_AVG, PPL_RATIO_SCALE
+
+    return (
+        "WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wd GROUP BY w), "
+        "tv AS (SELECT CAST(sum(c) AS BIGINT) AS t_words, "
+        "CAST(count(*) AS BIGINT) AS v_size FROM cnt), "
+        f"sr AS (SELECT w, (t_words + v_size) * {PPL_RATIO_SCALE} // (c + 1) "
+        "AS sr FROM cnt, tv), "
+        f"sq AS (SELECT w, {_log2q_duck('sr')} - {20 * LOG2Q_FBITS} AS sq FROM sr), "
+        "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words, "
+        "CAST(sum(sq) AS BIGINT) AS xent_sum FROM wd JOIN sq USING (w) "
+        "GROUP BY doc_id) "
+        "SELECT doc_id, n_words, xent_sum, "
+        "CAST(xent_sum // n_words AS BIGINT) AS xent_avg, "
+        f"CAST(xent_sum // n_words <= {PPL_MAX_XENT_AVG} AS INT) AS ppl_kept FROM s"
     )
 
 
@@ -925,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "importance_weights": _importance_sql(),
         "source_quality_gate": _source_gate_sql(),
+        "bm25_topk": _bm25_sql(),
+        "perplexity_filter": _ppl_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

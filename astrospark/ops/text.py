@@ -604,3 +604,180 @@ def source_quality_gate(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", "source").join(F.broadcast(verdict), "source").select(
         "doc_id", "source", "src_docs", "src_mean_chars", "src_kept"
     )
+
+# ---------------------------------------------------------------------------
+# Full-text retrieval + LM-based filtering share one cross-engine primitive:
+# an integer log2 with LOG2Q_FBITS mantissa-interpolated fractional bits.
+# floor(log2 x) comes from the binary-string length (Spark `bin()`, DuckDB
+# `format('{:b}')` — both exact for positive BIGINT); the fractional part
+# linearly interpolates the mantissa, log2q(x) = (b-1)*2^F + (x-2^(b-1))*2^F
+# div 2^(b-1). Monotone in x, max error ~0.086 bits (peak of log2(1+m)-m),
+# and — unlike float log() — bit-identical between JVM and DuckDB, so scores
+# summed in any order reproduce exactly.
+LOG2Q_FBITS = 1024  # 2^10: ten fractional bits
+
+
+def _log2q_sql(x: str) -> str:
+    """Integer log2 of a positive bigint SQL expression (Spark dialect).
+
+    ``x`` is referenced several times — pass a simple column name, not a
+    computed expression (compute it in a prior select).
+    """
+    b = f"(length(bin({x})) - 1)"
+    msb = f"shiftleft(cast(1 as bigint), {b})"
+    return f"({b} * {LOG2Q_FBITS} + ({x} - {msb}) * {LOG2Q_FBITS} div {msb})"
+
+
+def log2q(x: int) -> int:
+    """Pure-Python replay of _log2q_sql for oracle-free value tests."""
+    b = x.bit_length() - 1
+    msb = 1 << b
+    return b * LOG2Q_FBITS + (x - msb) * LOG2Q_FBITS // msb
+
+
+# BM25 retrieval constants: Robertson k1=1.2, b=0.75 appear below as the
+# exact integer multipliers 22/10 (=2·(k1+1)·...), 3 (=10·k1·(1-b)) and
+# 9 (=10·k1·b); idf is Lucene's non-negative log(1 + (N-df+0.5)/(df+0.5))
+# (base 2 here — a constant factor that rescales every score identically).
+# The demo query spans the synthetic corpus's df spectrum: 'dup' is rare
+# (high idf), 'merge'/'vector' are common (idf near the clamp floor).
+BM25_QUERY = ("dup", "merge", "vector")
+BM25_TOPK = 20
+BM25_RATIO_SCALE = 1 << 20  # idf ratio fixed point; (2N+2)·2^20 < 2^63
+BM25_DL_SCALE = 1024  # avgdl fixed point — keeps score terms < 2^50
+
+
+def _term_eq(t: str):
+    return lambda x: x == F.lit(t)
+
+
+def bm25_topk(spark, sf_dir, terms=BM25_QUERY, k: int = BM25_TOPK) -> DataFrame:
+    """BM25 top-k full-text search over the documents table — the retrieval
+    primitive (training-data sourcing, eval-set mining) the engine lacked.
+
+    Everything integer: per-term score = (22·tf·avgdl_q·idf_q) div
+    (10·avgdl_q·tf + 3·avgdl_q + 9·dl·DL_SCALE) with idf_q =
+    log2q((2N+2)·2^20 div (2df+1)) − 20·2^10 ≥ 0, so the DuckDB oracle
+    replays every score bit-for-bit (float BM25 would drift in the last
+    ulp across engines and flip tie-adjacent ranks).
+
+    Scale shape: per-term tf/dl are array expressions over ONE corpus scan
+    (no explode, no tokenize shuffle — query terms are columns, the plan is
+    built per query exactly like a search engine's); the global (N, Σdl,
+    df_t) aggregate is one partial-combined reduce to a 1-row frame that
+    BROADCASTS back (BroadcastNestedLoopJoin on a 1-row build side); the
+    top-k is TakeOrdered (per-partition heads, no sort shuffle). Zero wide
+    exchanges at any corpus size.
+    """
+    nt = len(terms)
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    per = d.select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        *[
+            # single-arg lambda via factory: a 2-arg lambda would be read
+            # by pyspark as the (element, index) filter variant
+            F.size(F.filter("ws", _term_eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(nt)
+        ],
+    )
+    sr = stats.select(
+        F.expr(f"sum_dl * {BM25_DL_SCALE} div n_docs").alias("avgdl_q"),
+        *[
+            F.expr(f"(2 * n_docs + 2) * {BM25_RATIO_SCALE} div (2 * df{i} + 1)")
+            .alias(f"sr{i}")
+            for i in range(nt)
+        ],
+    )
+    # 2^20 ratio scale contributes exactly 20·LOG2Q_FBITS to log2q
+    idf = sr.select(
+        "avgdl_q",
+        *[
+            F.expr(f"{_log2q_sql(f'sr{i}')} - {20 * LOG2Q_FBITS}").alias(f"idf{i}")
+            for i in range(nt)
+        ],
+    )
+    scored = per.join(F.broadcast(idf))
+    term_score = [
+        F.expr(
+            f"IF(tf{i} > 0, 22 * tf{i} * avgdl_q * idf{i} div "
+            f"(10 * avgdl_q * tf{i} + 3 * avgdl_q + 9 * dl * {BM25_DL_SCALE}), 0)"
+        )
+        for i in range(nt)
+    ]
+    res = scored.select(
+        "doc_id",
+        sum_exprs([(F.col(f"tf{i}") > 0).cast("int") for i in range(nt)])
+        .cast("int")
+        .alias("n_hit"),
+        sum_exprs(term_score).cast("bigint").alias("bm25"),
+    ).filter(F.col("n_hit") > 0)
+    return res.orderBy(F.desc("bm25"), "doc_id").limit(k)
+
+
+# CCNet-style LM filter: surprisal of word w under the add-one-smoothed
+# corpus unigram LM, log2((T+V)/(c_w+1)) in log2q fixed point; documents
+# whose per-word mean surprisal exceeds the ceiling are flagged (gibberish
+# / OOV-heavy pages score high, fluent in-domain text low). The ceiling
+# sits in the corpus-typical distribution's upper tail (p90 ~5009, max
+# ~5872 across the sf dirs) so the flag is non-degenerate: ~96% kept,
+# the rare-word-heavy ~4% flagged — the CCNet "tail" regime.
+PPL_RATIO_SCALE = 1 << 20
+PPL_MAX_XENT_AVG = 5060
+
+
+def perplexity_filter(spark, sf_dir) -> DataFrame:
+    """Unigram-LM perplexity filtering (the CCNet/LLaMA wellformedness
+    pass): score every document by its mean per-word surprisal under a
+    language model fit on the corpus itself, flag the high-perplexity tail.
+
+    Surprisal is integer log2q — summed integers are order-free, so the
+    DuckDB replay is bit-identical (a float log LM would need a tolerance
+    and tolerances can't feed an exact keep/drop flag).
+
+    Scale shape: LM fitting is ONE vocab-keyed shuffle with map-side
+    combine (10^12 words collapse to the vocab cardinality per task); the
+    (T, V) normalizer is a 1-row broadcast. Scoring joins the word stream
+    against the surprisal table on the word key — auto-broadcast here;
+    at web scale the vocab table exceeds broadcast range and the honest
+    shape is a shuffle join on the word key, or the hashed-vocab variant
+    (importance_weights) which stays broadcastable at ANY corpus size by
+    construction. The final per-doc mean shuffles once on doc_id.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    tv = counts.agg(
+        F.sum("c").alias("t_words"), F.count("*").alias("v_size")
+    )
+    sur = (
+        counts.join(F.broadcast(tv))
+        .select(
+            "w",
+            F.expr(f"(t_words + v_size) * {PPL_RATIO_SCALE} div (c + 1)").alias(
+                "sr"
+            ),
+        )
+        .select("w", F.expr(f"{_log2q_sql('sr')} - {20 * LOG2Q_FBITS}").alias("sq"))
+    )
+    scored = words.join(sur, "w").groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_words"),
+        F.sum("sq").cast("bigint").alias("xent_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "xent_sum",
+        F.expr("xent_sum div n_words").cast("bigint").alias("xent_avg"),
+        F.expr(f"CAST(xent_sum div n_words <= {PPL_MAX_XENT_AVG} AS INT)").alias(
+            "ppl_kept"
+        ),
+    )

@@ -238,6 +238,8 @@ def main() -> None:
         "asof_attribution": _events.asof_attribution,
         "ann_pq_topk": _similarity.ann_pq_topk,
         "ann_ivfadc_topk": _similarity.ann_ivfadc_topk,
+        "bm25_topk": _text.bm25_topk,
+        "perplexity_filter": _text.perplexity_filter,
     }.items():
         rs = []
         for _ in range(REPEATS):

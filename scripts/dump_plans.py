@@ -206,6 +206,20 @@ NOTES = {
         "cell-pruned BEFORE scoring, so the scan cost is the probed "
         "cells' code rows, not the corpus."
     ),
+    "bm25_topk": (
+        "Retrieval plan built per query, search-engine style: per-term "
+        "tf/dl are array expressions on ONE corpus scan (no explode, no "
+        "tokenize shuffle), the 1-row (N, sum_dl, df_t) stats frame "
+        "broadcasts back, and the top-k is TakeOrderedAndProject — zero "
+        "hash-partition exchanges at any corpus size."
+    ),
+    "perplexity_filter": (
+        "LM fit is one vocab-keyed partial-combined agg; the (T,V) "
+        "normalizer is a 1-row broadcast; scoring joins the word stream "
+        "to the surprisal table on the word key (auto-broadcast here; at "
+        "web-scale vocab the honest shape is a shuffle join or the "
+        "hashed-vocab importance_weights variant), then ONE doc_id agg."
+    ),
 }
 
 

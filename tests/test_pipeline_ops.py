@@ -164,3 +164,126 @@ def test_asof_attribution_plan_no_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # there is no join at all
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_log2q_exact_and_bounded():
+    """log2q: exact at powers of two, monotone, mantissa-interpolation
+    error < 0.09 bits against float log2 (the documented bound)."""
+    import math
+
+    from astrospark.ops.text import LOG2Q_FBITS, log2q
+
+    for k in range(0, 62):
+        assert log2q(1 << k) == k * LOG2Q_FBITS
+    xs = [3, 7, 100, 999, 12345, 10**9 + 7, (1 << 40) + 12345, (1 << 62) - 1]
+    for x in xs:
+        err = abs(log2q(x) / LOG2Q_FBITS - math.log2(x))
+        assert err < 0.09, (x, err)
+    for a, b in zip(xs, xs[1:]):
+        assert log2q(a) < log2q(b)
+
+
+def _bm25_replay(rows):
+    """Scalar integer BM25 replay mirroring the documented quantization."""
+    from astrospark.ops.text import (
+        BM25_DL_SCALE,
+        BM25_QUERY,
+        BM25_RATIO_SCALE,
+        BM25_TOPK,
+        LOG2Q_FBITS,
+        log2q,
+    )
+
+    docs = [(r.doc_id, r.text.split(" ")) for r in rows]
+    n = len(docs)
+    sum_dl = sum(len(ws) for _, ws in docs)
+    avgdl_q = sum_dl * BM25_DL_SCALE // n
+    idf = {}
+    for t in BM25_QUERY:
+        df = sum(1 for _, ws in docs if t in ws)
+        sr = (2 * n + 2) * BM25_RATIO_SCALE // (2 * df + 1)
+        idf[t] = log2q(sr) - 20 * LOG2Q_FBITS
+    scored = []
+    for doc_id, ws in docs:
+        dl = len(ws)
+        hit, score = 0, 0
+        for t in BM25_QUERY:
+            tf = ws.count(t)
+            if tf:
+                hit += 1
+                score += (22 * tf * avgdl_q * idf[t]) // (
+                    10 * avgdl_q * tf + 3 * avgdl_q + 9 * dl * BM25_DL_SCALE
+                )
+        if hit:
+            scored.append((doc_id, hit, score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:BM25_TOPK]
+
+
+def test_bm25_python_replay(spark):
+    """Spark top-k == the scalar integer replay, rank order included."""
+    from astrospark.ops.text import bm25_topk
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected = _bm25_replay(rows)
+    got = [(r.doc_id, r.n_hit, r.bm25) for r in bm25_topk(spark, SF).collect()]
+    assert got == expected
+
+
+def test_bm25_plan_shape(spark):
+    """Retrieval plan: TakeOrdered top-k (no sort shuffle), no
+    hash-partition exchange anywhere (tf/dl are array expressions on the
+    scan; the stats row broadcasts back), doc_id+text-only read."""
+    from astrospark.ops.text import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_perplexity_python_replay(spark):
+    """Counter-based unigram-LM replay: add-one surprisal table, integer
+    per-doc sums/means and the keep flag, all exact."""
+    from collections import Counter
+
+    from astrospark.ops.text import (
+        LOG2Q_FBITS,
+        PPL_MAX_XENT_AVG,
+        PPL_RATIO_SCALE,
+        log2q,
+        perplexity_filter,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    cnt: Counter = Counter()
+    for r in rows:
+        cnt.update(r.text.split(" "))
+    t_words, v_size = sum(cnt.values()), len(cnt)
+    sq = {
+        w: log2q((t_words + v_size) * PPL_RATIO_SCALE // (c + 1))
+        - 20 * LOG2Q_FBITS
+        for w, c in cnt.items()
+    }
+    expected = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        s = sum(sq[w] for w in ws)
+        avg = s // len(ws)
+        expected[r.doc_id] = (len(ws), s, avg, int(avg <= PPL_MAX_XENT_AVG))
+    got = {
+        r.doc_id: (r.n_words, r.xent_sum, r.xent_avg, r.ppl_kept)
+        for r in perplexity_filter(spark, SF).collect()
+    }
+    assert got == expected
+    # the flag must be non-degenerate: a kept majority AND a flagged tail
+    flags = {v[3] for v in got.values()}
+    assert flags == {0, 1}
