@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_gate": text.source_quality_gate,
         "bm25_topk": text.bm25_topk,
         "perplexity_filter": text.perplexity_filter,
+        "pii_redact": text.pii_redact,
+        "corpus_stats_rollup": text.corpus_stats_rollup,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -527,6 +529,41 @@ def _ppl_sql() -> str:
         "SELECT doc_id, n_words, xent_sum, "
         "CAST(xent_sum // n_words AS BIGINT) AS xent_avg, "
         f"CAST(xent_sum // n_words <= {PPL_MAX_XENT_AVG} AS INT) AS ppl_kept FROM s"
+    )
+
+
+def _pii_sql() -> str:
+    """Same injected-PII construction (identical string expressions) and
+    the same backref-free patterns — Java regex and RE2 agree on these."""
+    from astrospark.ops.text import PII_EMAIL, PII_IP, PII_PHONE
+
+    return (
+        "WITH aug AS (SELECT doc_id, text || CASE "
+        "WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
+        "'@example.com or +1-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '.' "
+        "WHEN doc_id % 11 = 3 THEN ' node 192.168.' || (doc_id % 256) || '.17 logged it' "
+        "ELSE '' END AS aug FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(aug, '{PII_EMAIL}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(aug, '{PII_PHONE}')) AS INT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(aug, '{PII_IP}')) AS INT) AS n_ips, "
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"aug, '{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{PII_IP}', '<IP>', 'g') AS redacted FROM aug"
+    )
+
+
+def _rollup_sql() -> str:
+    """GROUP BY ROLLUP twin; grouping markers coalesced to '(all)' in both
+    engines so the key space is NULL-free (the source columns are
+    non-null by construction in the driver testdata)."""
+    return (
+        "SELECT COALESCE(lang, '(all)') AS lang, "
+        "COALESCE(source, '(all)') AS source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY ROLLUP (lang, source)"
     )
 
 
@@ -1011,6 +1048,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_gate": _source_gate_sql(),
         "bm25_topk": _bm25_sql(),
         "perplexity_filter": _ppl_sql(),
+        "pii_redact": _pii_sql(),
+        "corpus_stats_rollup": _rollup_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -826,7 +826,13 @@ def pq_codebooks(spark, sf_dir, iters: int = PQ_ITERS) -> DataFrame:
         cents = cents.join(upd, ["m", "code"], "left").select(
             "m", "code", F.coalesce("qc_new", "qc").alias("qc")
         )
-    return cents
+    # scoped_persist: 64 rows, but the lineage is the whole Lloyd
+    # training — probe-many sessions reuse the trained codebooks like
+    # kmeans_cells reuses the coarse assignment. Released via
+    # ops.caching.release_caches().
+    from astrospark.ops.caching import scoped_persist
+
+    return scoped_persist(cents)
 
 
 def pq_codes(spark, sf_dir) -> DataFrame:
@@ -844,7 +850,13 @@ def pq_codes(spark, sf_dir) -> DataFrame:
     scored = sv.join(F.broadcast(cents), "m").select(
         "vec_id", "m", "code", _pq_l2(F.col("sq"), F.col("qc")).alias("d")
     )
-    return (
+    # scoped_persist: the encoded code table IS the ANN index
+    # (index-once, probe-many — same idiom and lifetime as
+    # kmeans_cells); at 10^12 vectors it would be a cell-partitioned
+    # materialized table, not a block-manager cache.
+    from astrospark.ops.caching import scoped_persist
+
+    return scoped_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("m").cast("int").alias("m"), F.col("code").cast("int").alias("code"))

@@ -781,3 +781,95 @@ def perplexity_filter(spark, sf_dir) -> DataFrame:
             "ppl_kept"
         ),
     )
+
+
+# PII scrubbing patterns — backref-free character-class regexes that parse
+# identically under Java regex (Spark) and RE2 (DuckDB). The synthetic
+# corpus carries no PII, so the query injects deterministic addresses into
+# a doc_id-derived slice first (both engines build the identical string);
+# the redaction machinery itself is exactly what a real scrub runs.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+1-555-[0-9]{4}"
+PII_IP = "192\\.168\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_redact(spark, sf_dir) -> DataFrame:
+    """PII redaction — the scrub stage every pretraining pipeline runs
+    before tokenization: emails / phone numbers / private-range IPs are
+    counted then replaced with typed placeholder tokens.
+
+    Scale shape: scan → project, zero shuffles and zero UDFs — the
+    regexes run JVM-side inside whole-stage codegen (regexp_extract_all
+    + regexp_replace), so the scrub rides the same pass as any other
+    per-doc projection at 10^12 rows. The patterns avoid backreferences
+    and lookaround, keeping Java-regex and RE2 semantics identical (and
+    leaving the door open to Spark's RE2-based codegen paths).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-0"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.lit(" node 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17 logged it"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    step = d.select("doc_id", aug.alias("aug"))
+    return step.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_IP), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("aug", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ),
+            PII_IP,
+            "<IP>",
+        ).alias("redacted"),
+    )
+
+
+def corpus_stats_rollup(spark, sf_dir) -> DataFrame:
+    """Corpus reporting cube: ROLLUP over (lang, source) — per-cell,
+    per-language and grand-total document counts and exact character
+    sums in ONE pass (the multi-level aggregation a curation dashboard
+    reads; SURVEY §2.5's aggregation family extended to grouping sets).
+
+    Spark plans this as Expand → partial agg → ONE exchange on the
+    grouping-set key — the replicated rows are 3× the input of a plain
+    agg but map-side combine collapses them before the shuffle, so the
+    wire cost stays ~(distinct groups × 3). Grouping markers are
+    coalesced to literal '(all)' so the key space is explicit and
+    NULL-free in both engines.
+    """
+    d = _docs(spark, sf_dir).select("lang", "source", "n_chars")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )

@@ -240,6 +240,8 @@ def main() -> None:
         "ann_ivfadc_topk": _similarity.ann_ivfadc_topk,
         "bm25_topk": _text.bm25_topk,
         "perplexity_filter": _text.perplexity_filter,
+        "pii_redact": _text.pii_redact,
+        "corpus_stats_rollup": _text.corpus_stats_rollup,
     }.items():
         rs = []
         for _ in range(REPEATS):

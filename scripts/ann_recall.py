@@ -230,6 +230,82 @@ def eval_nprobe_sweep(spark, sf_dir, ids, S, sample, release_caches) -> list[dic
     return sweep
 
 
+def exact_l2_topk(V: np.ndarray, ids: np.ndarray, qi: int, k: int) -> list[int]:
+    """Exact float64 squared-L2 top-k (dist asc, vec_id asc), excluding
+    the query — the ground truth for the L2-metric PQ operators."""
+    d = ((V - V[qi]) ** 2).sum(axis=1)
+    order = sorted((i for i in range(len(ids)) if i != qi), key=lambda i: (d[i], ids[i]))
+    return [int(ids[i]) for i in order[:k]]
+
+
+def eval_pq_ops(spark, sf_dir, ids, V, sample, release_caches) -> dict:
+    """PQ quantization-quality evidence vs exact float64 L2 brute force.
+
+    ann_pq_topk scans ALL codes (no candidate pruning), so its recall
+    isolates pure quantization error — the accuracy cost of compressing
+    dim float32s to PQ_M byte codes. ann_ivfadc_topk composes IVF cell
+    pruning on top; its sweep shows the nprobe knob buying recall back
+    with candidate volume, converging to the PQ ceiling."""
+    from astrospark.ops import similarity as sim
+    from astrospark.ops.similarity import PQ_K, PQ_M, TOP_K
+
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    out: dict = {}
+
+    recalls, secs = [], []
+    for q in sample:
+        t0 = time.time()
+        got = [int(r["vec_id"]) for r in sim.ann_pq_topk(spark, sf_dir, query_vec_id=q).collect()]
+        secs.append(time.time() - t0)
+        want = exact_l2_topk(V, ids, id_pos[q], TOP_K)
+        recalls.append(len(set(got) & set(want)) / TOP_K)
+    out["ann_pq_topk"] = {
+        "k": TOP_K,
+        "n_queries": len(sample),
+        "metric": "L2",
+        "recall_mean": round(float(np.mean(recalls)), 4),
+        "recall_min": round(float(np.min(recalls)), 4),
+        "candidates_frac_of_corpus": 1.0,
+        "bytes_per_vector_vs_raw": f"{PQ_M} codes (<= {PQ_K} values) vs {V.shape[1]} floats",
+        "probe_sec_mean": round(float(np.mean(secs)), 3),
+    }
+    print("ann_pq_topk", out["ann_pq_topk"])
+
+    cells = sim.kmeans_cells(spark, sf_dir).collect()
+    member_size: dict = {}
+    probe_cells: dict[int, list] = {}
+    for r in cells:
+        if r["rnk"] == 1:
+            member_size[r["cell"]] = member_size.get(r["cell"], 0) + 1
+        probe_cells.setdefault(int(r["vec_id"]), []).append((r["rnk"], r["cell"]))
+    sweep = []
+    for nprobe in (1, 2, 4):
+        recalls, cand_counts = [], []
+        for q in sample:
+            got = [
+                int(r["vec_id"])
+                for r in sim.ann_ivfadc_topk(
+                    spark, sf_dir, query_vec_id=q, nprobe=nprobe
+                ).collect()
+            ]
+            want = exact_l2_topk(V, ids, id_pos[q], TOP_K)
+            recalls.append(len(set(got) & set(want)) / TOP_K)
+            probed = [c for rk, c in sorted(probe_cells[q]) if rk <= nprobe]
+            cand_counts.append(sum(member_size.get(c, 0) for c in probed) - 1)
+        row = {
+            "nprobe": nprobe,
+            "recall_mean": round(float(np.mean(recalls)), 4),
+            "candidates_mean": round(float(np.mean(cand_counts)), 1),
+            "candidates_frac_of_corpus": round(float(np.mean(cand_counts)) / (n - 1), 4),
+        }
+        sweep.append(row)
+        print("ivfadc sweep", row)
+    out["ivfadc_nprobe_sweep"] = sweep
+    release_caches()
+    return out
+
+
 def eval_knn(spark, sf_dir, ids, S, release_caches) -> dict:
     from astrospark.ops import similarity as sim
     from astrospark.ops.similarity import KNN_K
@@ -362,6 +438,9 @@ def main() -> None:
     )
     results["knn_join"] = eval_knn(spark, sf_dir, ids, S, release_caches)
     print("knn_join", results["knn_join"])
+    pq = eval_pq_ops(
+        spark, sf_dir, ids, V, sample[: max(len(sample) // 2, 6)], release_caches
+    )
     planted = eval_planted(spark, release_caches)
     print("planted", planted)
 
@@ -382,6 +461,7 @@ def main() -> None:
         "operators": results,
         "rp_probe_depth_sweep": sweep,
         "ivf_nprobe_sweep": nprobe_sweep,
+        "pq": pq,
         "planted_neardup_regime": planted,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -462,6 +542,41 @@ def write_recall_md(out: dict) -> None:
         "so raising nprobe costs no extra index pass). nprobe=1 is the "
         "oracle-contract default.",
         "",
+    ]
+    pq = out.get("pq")
+    if pq:
+        p = pq["ann_pq_topk"]
+        lines += [
+            "### Product quantization (L2 metric, exact float64 L2 ground truth)",
+            "",
+            f"**ann_pq_topk** (full-corpus ADC scan — recall loss is pure "
+            f"quantization error): recall@{p['k']} mean **{p['recall_mean']}** "
+            f"(min {p['recall_min']}) over {p['n_queries']} queries; index is "
+            f"{p['bytes_per_vector_vs_raw']} per vector. The shipped PQ is "
+            "deliberately tiny (16 bits/vector, ~128× compression) so the "
+            "DuckDB oracle can replay training via unrolled CTEs; production "
+            "would run PQ_M=8-64 × K=256 on the same plan shape.",
+            "",
+            "| ann_ivfadc_topk nprobe | recall@10 (mean) | candidates/query | % of corpus |",
+            "|---|---|---|---|",
+        ]
+        for row in pq["ivfadc_nprobe_sweep"]:
+            lines.append(
+                f"| {row['nprobe']} | {row['recall_mean']} | {row['candidates_mean']} "
+                f"| {round(row['candidates_frac_of_corpus'] * 100, 1)}% |"
+            )
+        lines += [
+            "",
+            "IVFADC composes cell pruning with ADC scoring while touching only "
+            "the probed cells' code rows — the memory-and-scan-feasible layout "
+            "for 10^12-vector search (production reranks the ADC top-R "
+            "exactly). Note IVFADC can EXCEED the full-scan ADC row: cell "
+            "residency carries locality the 16-bit codes alone can't express, "
+            "so restricting candidates to near cells filters out ADC's "
+            "quantization-error impostors.",
+            "",
+        ]
+    lines += [
         "## 3. Target regime: planted near-duplicate clusters",
         "",
         f"{pl['n_vectors']} vectors = 800 iid base + {pl['planted_clusters']} planted clusters "

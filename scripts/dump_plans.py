@@ -220,6 +220,17 @@ NOTES = {
         "web-scale vocab the honest shape is a shuffle join or the "
         "hashed-vocab importance_weights variant), then ONE doc_id agg."
     ),
+    "pii_redact": (
+        "PII scrub is scan → project with ZERO exchanges and zero UDFs: "
+        "regexp_extract_all / regexp_replace run JVM-side in the same "
+        "pass as any per-doc projection."
+    ),
+    "corpus_stats_rollup": (
+        "ROLLUP plans as Expand → partial HashAggregate → ONE Exchange "
+        "on the grouping-set key: the 3× replicated rows collapse "
+        "map-side, so the wire carries ~(distinct groups × 3), not the "
+        "corpus."
+    ),
 }
 
 

@@ -287,3 +287,89 @@ def test_perplexity_python_replay(spark):
     # the flag must be non-degenerate: a kept majority AND a flagged tail
     flags = {v[3] for v in got.values()}
     assert flags == {0, 1}
+
+
+def test_pii_redact_python_replay(spark):
+    """Python `re` replay of injection + counting + redaction; the
+    injected slices make every pattern fire somewhere (non-degenerate)."""
+    import re
+
+    from astrospark.ops.text import PII_EMAIL, PII_IP, PII_PHONE, pii_redact
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected = {}
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            aug = (
+                f"{r.text} contact user{r.doc_id}@example.com or "
+                f"+1-555-0{r.doc_id % 1000:03d}."
+            )
+        elif r.doc_id % 11 == 3:
+            aug = f"{r.text} node 192.168.{r.doc_id % 256}.17 logged it"
+        else:
+            aug = r.text
+        red = re.sub(PII_EMAIL, "<EMAIL>", aug)
+        red = re.sub(PII_PHONE, "<PHONE>", red)
+        red = re.sub(PII_IP, "<IP>", red)
+        expected[r.doc_id] = (
+            len(re.findall(PII_EMAIL, aug)),
+            len(re.findall(PII_PHONE, aug)),
+            len(re.findall(PII_IP, aug)),
+            red,
+        )
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.redacted)
+        for r in pii_redact(spark, SF).collect()
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0
+
+
+def test_pii_redact_no_shuffle(spark):
+    """Scrub is scan → project: zero exchanges, no UDF node."""
+    from astrospark.ops.text import pii_redact
+
+    plan = _plan(pii_redact(spark, SF))
+    assert "Exchange (" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_stats_rollup_python_replay(spark):
+    """Rollup == per-cell + per-lang + grand-total aggregation by hand."""
+    from collections import Counter
+
+    from astrospark.ops.text import corpus_stats_rollup
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "source", "n_chars")
+        .collect()
+    )
+    n: Counter = Counter()
+    s: Counter = Counter()
+    for r in rows:
+        for key in ((r.lang, r.source), (r.lang, "(all)"), ("(all)", "(all)")):
+            n[key] += 1
+            s[key] += r.n_chars
+    got = {
+        (r.lang, r.source): (r.n_docs, r.sum_chars)
+        for r in corpus_stats_rollup(spark, SF).collect()
+    }
+    assert got == {k: (n[k], s[k]) for k in n}
+
+
+def test_stats_rollup_single_exchange(spark):
+    """Expand feeds a partially-aggregated single shuffle — grouping sets
+    must not become three scans or three exchanges."""
+    from astrospark.ops.text import corpus_stats_rollup
+
+    plan = _plan(corpus_stats_rollup(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Exchange (") == 1
+    # formatted mode prints each node twice (tree line + detail header)
+    assert plan.count("Scan parquet") == 2
