@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": text.perplexity_filter,
         "pii_redact": text.pii_redact,
         "corpus_stats_rollup": text.corpus_stats_rollup,
+        "token_cooccurrence": text.token_cooccurrence,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -551,6 +552,28 @@ def _pii_sql() -> str:
         f"aug, '{PII_EMAIL}', '<EMAIL>', 'g'), "
         f"'{PII_PHONE}', '<PHONE>', 'g'), "
         f"'{PII_IP}', '<IP>', 'g') AS redacted FROM aug"
+    )
+
+
+def _cooccur_sql() -> str:
+    """Same distinct-hit self-join + integer-operand lift division; the
+    round(…, 4) divides identical exact integers in both engines."""
+    from astrospark.ops.text import DICT_TOKENS
+
+    toks = ", ".join("'" + t + "'" for t in DICT_TOKENS)
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, w AS tok FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE w IN ({toks})), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+        "marg AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok), "
+        "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab "
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+        "GROUP BY 1, 2) "
+        "SELECT tok_a, tok_b, c_ab, "
+        "round((n_docs * c_ab) / (ma.c * mb.c), 4) AS lift "
+        "FROM p JOIN marg ma ON p.tok_a = ma.tok "
+        "JOIN marg mb ON p.tok_b = mb.tok, n"
     )
 
 
@@ -1050,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_filter": _ppl_sql(),
         "pii_redact": _pii_sql(),
         "corpus_stats_rollup": _rollup_sql(),
+        "token_cooccurrence": _cooccur_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -873,3 +873,49 @@ def corpus_stats_rollup(spark, sf_dir) -> DataFrame:
             "sum_chars",
         )
     )
+
+
+def token_cooccurrence(spark, sf_dir) -> DataFrame:
+    """Dictionary-term co-occurrence with lift — the co-mention analytics
+    a user runs over extraction output (which catalogue objects appear
+    together?; reference consumers do this downstream of
+    AstroParser.extractAstroEntities), expressed over the broadcast
+    DICT_TOKENS dictionary so the oracle needs no model.
+
+    ``lift = n_docs·c_ab / (c_a·c_b)`` divides identical integer operands
+    in both engines, then rounds — safe cross-engine (the operands are
+    exact; only the final display division is floating point).
+
+    Scale shape: per-doc distinct dictionary hits are bounded by the
+    dictionary (not by document length), so the doc_id self-join fans
+    out at most |dict|² pairs per document — no cross product, no skew
+    amplification; the pair aggregation keys a |dict|²-bounded space
+    with map-side combine, and the marginal table (≤|dict| rows)
+    broadcasts back onto it.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(list(DICT_TOKENS)))
+        .distinct()
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    marg = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("c_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(marg.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))), "tok_a")
+        .join(F.broadcast(marg.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))), "tok_b")
+        .join(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round((F.col("n_docs") * F.col("c_ab")) / (F.col("c_a") * F.col("c_b")), 4).alias("lift"),
+        )
+    )

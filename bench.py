@@ -242,6 +242,7 @@ def main() -> None:
         "perplexity_filter": _text.perplexity_filter,
         "pii_redact": _text.pii_redact,
         "corpus_stats_rollup": _text.corpus_stats_rollup,
+        "token_cooccurrence": _text.token_cooccurrence,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -231,6 +231,12 @@ NOTES = {
         "map-side, so the wire carries ~(distinct groups × 3), not the "
         "corpus."
     ),
+    "token_cooccurrence": (
+        "Co-mention self-join: per-doc distinct dictionary hits bound "
+        "the doc_id equi-join fan-out at |dict|² pairs per document (no "
+        "cross product); the pair agg keys a |dict|²-bounded space and "
+        "the marginal + corpus-total tables broadcast back."
+    ),
 }
 
 

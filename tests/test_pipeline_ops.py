@@ -373,3 +373,50 @@ def test_stats_rollup_single_exchange(spark):
     assert plan.count("Exchange (") == 1
     # formatted mode prints each node twice (tree line + detail header)
     assert plan.count("Scan parquet") == 2
+
+
+def test_token_cooccurrence_python_replay(spark):
+    """Set-based replay of distinct hits, pair counts and integer-operand
+    lift; also pins that no pair is double-counted per document."""
+    from collections import Counter
+    from itertools import combinations
+
+    from astrospark.ops.text import DICT_TOKENS, token_cooccurrence
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_docs = len(rows)
+    marg: Counter = Counter()
+    pair: Counter = Counter()
+    for r in rows:
+        hits = sorted(set(r.text.split(" ")) & set(DICT_TOKENS))
+        marg.update(hits)
+        pair.update(combinations(hits, 2))
+    expected = {
+        (a, b): (c_ab, round(n_docs * c_ab / (marg[a] * marg[b]), 4))
+        for (a, b), c_ab in pair.items()
+    }
+    got = {
+        (r.tok_a, r.tok_b): (r.c_ab, r.lift)
+        for r in token_cooccurrence(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_token_cooccurrence_plan_no_blowup(spark):
+    """The self-join must be a doc_id equi-join (no CartesianProduct);
+    marginals and the 1-row total broadcast back onto the pair agg."""
+    from astrospark.ops.text import token_cooccurrence
+
+    plan = _plan(token_cooccurrence(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the doc_id self-join is an equi-join (auto-broadcast at this sf;
+    # SMJ/shuffled-hash at scale); the marginals broadcast back
+    # ") Name" matches the detail header once per node
+    assert plan.count(") BroadcastHashJoin") >= 3 or "SortMergeJoin" in plan
+    # exactly ONE nested-loop join: the 1-row corpus-total build side
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
