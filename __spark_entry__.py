@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation,
         dedup,
         events,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": text.pii_redact,
         "corpus_stats_rollup": text.corpus_stats_rollup,
         "token_cooccurrence": text.token_cooccurrence,
+        "cooccur_pagerank": graph.cooccur_pagerank,
         # max_bucket=None pins exhaustive pair semantics for the oracle
         "dedup_keep_best": lambda spark, sf_dir: dedup.dedup_keep_best(
             spark, sf_dir, max_bucket=None
@@ -575,6 +577,44 @@ def _cooccur_sql() -> str:
         "FROM p JOIN marg ma ON p.tok_a = ma.tok "
         "JOIN marg mb ON p.tok_b = mb.tok, n"
     )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-CTE replay of the integer PageRank iterations — same
+    scaled-mass floor-div arithmetic, so every rank is bit-identical."""
+    from astrospark.ops.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+    )
+    from astrospark.ops.text import DICT_TOKENS
+
+    toks = ", ".join("'" + t + "'" for t in DICT_TOKENS)
+    prelude = (
+        "WITH tk AS (SELECT DISTINCT doc_id, w AS tok FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+        f"WHERE w IN ({toks})), "
+        "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS w "
+        "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2), "
+        "e0 AS (SELECT tok_a AS src, tok_b AS dst, w FROM p "
+        "UNION ALL SELECT tok_b, tok_a, w FROM p), "
+        "wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e0 GROUP BY src), "
+        "e AS (SELECT e0.src, e0.dst, e0.w, wd.wdeg FROM e0 JOIN wd USING (src)), "
+        "nodes AS (SELECT DISTINCT src AS tok FROM e0), "
+        f"pr0 AS (SELECT tok, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"
+    )
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(
+            f"pr{i + 1} AS (SELECT n.tok, CAST({PR_TELEPORT} + COALESCE("
+            f"sum(q.pr * {PR_DAMP_NUM} * e.w // ({PR_DAMP_DEN} * e.wdeg)), 0) "
+            "AS BIGINT) AS pr FROM nodes n "
+            "LEFT JOIN e ON e.dst = n.tok "
+            f"LEFT JOIN pr{i} q ON q.tok = e.src GROUP BY n.tok)"
+        )
+    return f"{prelude}, {', '.join(steps)} SELECT tok, pr FROM pr{PR_ITERS}"
 
 
 def _rollup_sql() -> str:
@@ -1074,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_sql(),
         "corpus_stats_rollup": _rollup_sql(),
         "token_cooccurrence": _cooccur_sql(),
+        "cooccur_pagerank": _pagerank_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

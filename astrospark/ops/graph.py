@@ -1,0 +1,81 @@
+"""Graph analytics over the co-mention graph (SURVEY §8 item 30).
+
+Third iterative-algorithm family after connected components
+(ops/dedup.py::dedup_cc_clusters) and Lloyd k-means
+(ops/similarity.py::kmeans_centroids): weighted PageRank over the
+dictionary co-occurrence graph — the "which entities matter" ranking a
+reference consumer computes downstream of extraction (the astro
+literature's object-importance graph), kept on the broadcast dictionary
+so the DuckDB oracle replays it without a model.
+
+All arithmetic is scaled integers (SCALE=10^6 mass units, damping 85/100
+as exact multipliers, floor division per contribution), so the unrolled
+per-iteration CTE replay is bit-identical — float PageRank sums would
+drift between engines' reduction orders. The floor-div quantization
+leaks <1 mass unit per edge per iteration (documented, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ITERS = 6
+PR_SCALE = 1_000_000  # initial mass per node
+PR_TELEPORT = 150_000  # (1 - 0.85) * SCALE
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _cooccur_edges(spark, sf_dir) -> DataFrame:
+    """Symmetrized weighted edge list (src, dst, w, wdeg) from the
+    dictionary co-occurrence pairs; wdeg is src's total edge weight."""
+    from astrospark.ops.text import token_cooccurrence
+
+    p = token_cooccurrence(spark, sf_dir).select(
+        F.col("tok_a"), F.col("tok_b"), F.col("c_ab").alias("w")
+    )
+    edges = p.select(
+        F.col("tok_a").alias("src"), F.col("tok_b").alias("dst"), "w"
+    ).union(p.select(F.col("tok_b").alias("src"), F.col("tok_a").alias("dst"), "w"))
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    return edges.join(F.broadcast(wdeg), "src")
+
+
+def cooccur_pagerank(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
+    """Weighted PageRank over the co-mention graph, ``iters`` fixed
+    synchronous iterations from uniform mass:
+
+        pr'(v) = TELEPORT + Σ_{(u,v)∈E} (pr(u)·85·w_uv) div (100·wdeg_u)
+
+    Scale shape: per iteration ONE join of the edge list against the
+    rank table (broadcast here — the dictionary bounds the rank table;
+    at full-gazetteer/entity-graph scale the honest shape is a
+    src-keyed shuffle join, same as any bulk-synchronous PR) + ONE
+    dst-keyed aggregation with map-side combine. Dangling-safe: nodes
+    are LEFT-joined so a node with no in-edges keeps its teleport mass.
+    Lineage grows linearly in iters like the k-means — production
+    checkpoints every few rounds (see dedup_cc_clusters'
+    localCheckpoint) rather than unrolling hundreds.
+    """
+    e = _cooccur_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("tok")).distinct()
+    pr = nodes.select("tok", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(F.broadcast(pr.withColumnRenamed("tok", "src")), "src")
+            .select(
+                F.col("dst").alias("tok"),
+                F.expr(
+                    f"pr * {PR_DAMP_NUM} * w div ({PR_DAMP_DEN} * wdeg)"
+                ).alias("c"),
+            )
+            .groupBy("tok")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, "tok", "left").select(
+            "tok",
+            (F.lit(PR_TELEPORT) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return pr.select("tok", "pr")

@@ -216,6 +216,7 @@ def main() -> None:
     from astrospark.ops import curation as _curation
     from astrospark.ops import dedup as _dedup
     from astrospark.ops import events as _events
+    from astrospark.ops import graph as _graph
     from astrospark.ops import similarity as _similarity
     from astrospark.ops import text as _text
 
@@ -243,6 +244,7 @@ def main() -> None:
         "pii_redact": _text.pii_redact,
         "corpus_stats_rollup": _text.corpus_stats_rollup,
         "token_cooccurrence": _text.token_cooccurrence,
+        "cooccur_pagerank": _graph.cooccur_pagerank,
     }.items():
         rs = []
         for _ in range(REPEATS):

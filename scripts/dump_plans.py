@@ -237,6 +237,12 @@ NOTES = {
         "cross product); the pair agg keys a |dict|²-bounded space and "
         "the marginal + corpus-total tables broadcast back."
     ),
+    "cooccur_pagerank": (
+        "Bulk-synchronous PageRank: per iteration ONE edges⋈ranks join "
+        "(broadcast at dictionary scale; src-keyed shuffle at entity "
+        "scale) + ONE dst-keyed agg with map-side combine; LEFT join "
+        "keeps teleport mass on in-edge-less nodes."
+    ),
 }
 
 

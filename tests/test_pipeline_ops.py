@@ -420,3 +420,52 @@ def test_token_cooccurrence_plan_no_blowup(spark):
     assert plan.count(") BroadcastHashJoin") >= 3 or "SortMergeJoin" in plan
     # exactly ONE nested-loop join: the 1-row corpus-total build side
     assert plan.count(") BroadcastNestedLoopJoin") == 1
+
+
+def test_pagerank_python_replay(spark):
+    """Dict-based synchronous-iteration replay of the integer PageRank,
+    plus the mass invariant: total mass = N·SCALE minus the (bounded)
+    floor-division leak."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from astrospark.ops.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+        cooccur_pagerank,
+    )
+    from astrospark.ops.text import DICT_TOKENS
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    pair: Counter = Counter()
+    for r in rows:
+        hits = sorted(set(r.text.split(" ")) & set(DICT_TOKENS))
+        pair.update(combinations(hits, 2))
+    edges = defaultdict(list)  # src -> [(dst, w)]
+    for (a, b), w in pair.items():
+        edges[a].append((b, w))
+        edges[b].append((a, w))
+    wdeg = {u: sum(w for _, w in out) for u, out in edges.items()}
+    pr = {u: PR_SCALE for u in edges}
+    for _ in range(PR_ITERS):
+        nxt = {u: PR_TELEPORT for u in edges}
+        for u, out in edges.items():
+            for v, w in out:
+                nxt[v] += pr[u] * PR_DAMP_NUM * w // (PR_DAMP_DEN * wdeg[u])
+        pr = nxt
+
+    got = {r.tok: r.pr for r in cooccur_pagerank(spark, SF).collect()}
+    assert got == pr
+    n = len(pr)
+    leak = n * PR_SCALE - sum(got.values())
+    # each edge contribution floors away < 1 unit per iteration
+    n_edges = sum(len(v) for v in edges.values())
+    assert 0 <= leak <= n_edges * PR_ITERS
+    assert len(set(got.values())) > 1  # weighted graph → non-uniform ranks
