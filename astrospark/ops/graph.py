@@ -38,7 +38,13 @@ def _cooccur_edges(spark, sf_dir) -> DataFrame:
         F.col("tok_a").alias("src"), F.col("tok_b").alias("dst"), "w"
     ).union(p.select(F.col("tok_b").alias("src"), F.col("tok_a").alias("dst"), "w"))
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    return edges.join(F.broadcast(wdeg), "src")
+    # scoped_persist: the edge list rides in EVERY iteration's lineage —
+    # without it the unrolled plan recomputes the corpus self-join per
+    # iteration (measured 8.0s → sub-second at sf0.1). Same index-once
+    # idiom as kmeans_cells; released via ops.caching.release_caches().
+    from astrospark.ops.caching import scoped_persist
+
+    return scoped_persist(edges.join(F.broadcast(wdeg), "src"))
 
 
 def cooccur_pagerank(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
@@ -51,8 +57,10 @@ def cooccur_pagerank(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
     rank table (broadcast here — the dictionary bounds the rank table;
     at full-gazetteer/entity-graph scale the honest shape is a
     src-keyed shuffle join, same as any bulk-synchronous PR) + ONE
-    dst-keyed aggregation with map-side combine. Dangling-safe: nodes
-    are LEFT-joined so a node with no in-edges keeps its teleport mass.
+    dst-keyed aggregation with map-side combine; the symmetrized edge
+    list guarantees every node has in-edges, so no dangling-node join
+    is needed (the DuckDB oracle keeps the LEFT-join form — its
+    COALESCE provably never fires on this graph).
     Lineage grows linearly in iters like the k-means — production
     checkpoints every few rounds (see dedup_cc_clusters'
     localCheckpoint) rather than unrolling hundreds.
@@ -61,8 +69,14 @@ def cooccur_pagerank(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
     nodes = e.select(F.col("src").alias("tok")).distinct()
     pr = nodes.select("tok", F.lit(PR_SCALE).cast("bigint").alias("pr"))
     for _ in range(iters):
+        # no broadcast hint: a hinted broadcast forces one eager
+        # materialization JOB per iteration (~1s fixed cost each on this
+        # VM, BENCH/job_overhead.json); un-hinted, the whole chain plans
+        # as ONE job of chained shuffle stages — which is also the honest
+        # shape at entity-graph scale where the rank table outgrows
+        # broadcast range (AQE still converts small sides at runtime).
         contrib = (
-            e.join(F.broadcast(pr.withColumnRenamed("tok", "src")), "src")
+            e.join(pr.withColumnRenamed("tok", "src"), "src")
             .select(
                 F.col("dst").alias("tok"),
                 F.expr(
@@ -72,10 +86,12 @@ def cooccur_pagerank(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
             .groupBy("tok")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(contrib, "tok", "left").select(
+        # symmetrized edges ⇒ every node has in-edges, so contrib covers
+        # all nodes and the dangling LEFT join is provably a no-op here
+        # (kept in the oracle, where COALESCE never fires); a directed
+        # variant would re-add `nodes.join(contrib, "tok", "left")`.
+        pr = contrib.select(
             "tok",
-            (F.lit(PR_TELEPORT) + F.coalesce(F.col("s"), F.lit(0)))
-            .cast("bigint")
-            .alias("pr"),
+            (F.lit(PR_TELEPORT) + F.col("s")).cast("bigint").alias("pr"),
         )
     return pr.select("tok", "pr")
