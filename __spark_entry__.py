@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # product quantization: trained per-subspace codebooks compress
         # each vector to PQ_M codes; ADC scores from codes alone
+        "embedding_hygiene": similarity.embedding_hygiene,
         "pq_codes": similarity.pq_codes,
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
@@ -576,6 +577,36 @@ def _cooccur_sql() -> str:
         "round((n_docs * c_ab) / (ma.c * mb.c), 4) AS lift "
         "FROM p JOIN marg ma ON p.tok_a = ma.tok "
         "JOIN marg mb ON p.tok_b = mb.tok, n"
+    )
+
+
+def _hygiene_sql() -> str:
+    """Same injected fault slices and quantized-integer norms; the NaN
+    branch short-circuits via CASE so floor(NaN)→BIGINT never runs."""
+    from astrospark.ops.similarity import (
+        HYGIENE_DIM,
+        HYGIENE_NAN_MOD,
+        HYGIENE_ZERO_MOD,
+        QUANT_SCALE,
+    )
+
+    q = f"x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT) * CAST(floor(x * {QUANT_SCALE}) AS BIGINT)"
+    return (
+        "WITH f AS (SELECT vec_id, CASE "
+        f"WHEN vec_id % {HYGIENE_ZERO_MOD} = 0 THEN "
+        "list_transform(embedding, x -> 0.0::DOUBLE) "
+        f"WHEN vec_id % {HYGIENE_NAN_MOD} = 1 THEN "
+        "['NaN'::DOUBLE] || (list_transform(embedding, x -> CAST(x AS DOUBLE)))[2:] "
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS emb "
+        "FROM embeddings), "
+        "g AS (SELECT vec_id, CAST(len(emb) AS INT) AS n_dims, "
+        "CAST(len(list_filter(emb, x -> isnan(x))) > 0 AS INT) AS has_nan, "
+        "CASE WHEN len(list_filter(emb, x -> isnan(x))) > 0 THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST(list_sum(list_transform(emb, {q})) AS BIGINT) END AS norm2_q "
+        "FROM f) "
+        "SELECT vec_id, n_dims, has_nan, norm2_q, "
+        f"CAST(n_dims = {HYGIENE_DIM} AND has_nan = 0 AND norm2_q > 0 AS INT) "
+        "AS kept FROM g"
     )
 
 
@@ -1115,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats_rollup": _rollup_sql(),
         "token_cooccurrence": _cooccur_sql(),
         "cooccur_pagerank": _pagerank_sql(),
+        "embedding_hygiene": _hygiene_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

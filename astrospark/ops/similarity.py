@@ -943,3 +943,75 @@ def ann_ivfadc_topk(
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# embedding-hygiene constants: the expected dimensionality of the driver
+# embeddings table, and the deterministic fault slices injected by the
+# query (the synthetic vectors are clean, so the gate would be degenerate
+# without them; both engines build the identical faulty vectors)
+HYGIENE_DIM = 64
+HYGIENE_ZERO_MOD = 97  # vec_id % 97 == 0 → all-zero vector
+HYGIENE_NAN_MOD = 89  # vec_id % 89 == 1 → NaN in component 0
+
+
+def embedding_hygiene(spark, sf_dir) -> DataFrame:
+    """Vector-quality gate — the hygiene pass every embedding pipeline
+    runs before ANN indexing or training: dimension check, NaN scan,
+    zero-norm detection, one keep flag. Bad vectors poison k-means
+    centroids (NaN propagates through every mean) and cosine scoring
+    (zero norm divides by zero), so they are dropped at ingest, not
+    discovered at query time.
+
+    Norms use the established ``quantize`` machinery (floor(x·1000) per
+    component → exact integer sums in any order, similarity.py:98), and
+    the NaN branch short-circuits via CASE in both engines — lazy branch
+    evaluation is what keeps floor(NaN)→bigint from ever being computed.
+
+    Scale shape: scan → project, ZERO shuffles, no UDF — per-vector
+    array expressions in one codegen stage, same cost class as any
+    ingest projection at 10^12 vectors.
+    """
+    e = _emb(spark, sf_dir)
+    emb_d = F.col("embedding").cast("array<double>")
+    faulty = (
+        F.when(
+            F.col("vec_id") % HYGIENE_ZERO_MOD == 0,
+            F.transform(emb_d, lambda x: F.lit(0.0)),
+        )
+        .when(
+            F.col("vec_id") % HYGIENE_NAN_MOD == 1,
+            F.concat(
+                F.array(F.expr("CAST('NaN' AS DOUBLE)")),
+                F.slice(emb_d, 2, HYGIENE_DIM - 1),
+            ),
+        )
+        .otherwise(emb_d)
+    )
+    step = e.select("vec_id", faulty.alias("emb"))
+    has_nan = (F.size(F.filter("emb", lambda x: F.isnan(x))) > 0).cast("int")
+    qsq = F.aggregate(
+        F.transform(quantize(F.col("emb")), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    flagged = step.select(
+        "vec_id",
+        F.size("emb").cast("int").alias("n_dims"),
+        has_nan.alias("has_nan"),
+        F.when(has_nan == 1, F.lit(-1).cast("bigint"))
+        .otherwise(qsq.cast("bigint"))
+        .alias("norm2_q"),
+    )
+    return flagged.select(
+        "vec_id",
+        "n_dims",
+        "has_nan",
+        "norm2_q",
+        (
+            (F.col("n_dims") == HYGIENE_DIM)
+            & (F.col("has_nan") == 0)
+            & (F.col("norm2_q") > 0)
+        )
+        .cast("int")
+        .alias("kept"),
+    )

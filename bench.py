@@ -245,6 +245,7 @@ def main() -> None:
         "corpus_stats_rollup": _text.corpus_stats_rollup,
         "token_cooccurrence": _text.token_cooccurrence,
         "cooccur_pagerank": _graph.cooccur_pagerank,
+        "embedding_hygiene": _similarity.embedding_hygiene,
     }.items():
         rs = []
         for _ in range(REPEATS):

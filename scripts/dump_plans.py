@@ -239,9 +239,15 @@ NOTES = {
     ),
     "cooccur_pagerank": (
         "Bulk-synchronous PageRank: per iteration ONE edges⋈ranks join "
-        "(broadcast at dictionary scale; src-keyed shuffle at entity "
-        "scale) + ONE dst-keyed agg with map-side combine; LEFT join "
-        "keeps teleport mass on in-edge-less nodes."
+        "+ ONE dst-keyed agg with map-side combine; the persisted edge "
+        "list keeps the corpus self-join out of the per-iteration "
+        "lineage, and un-hinted joins let the whole chain run as one "
+        "job instead of an eager broadcast job per iteration."
+    ),
+    "embedding_hygiene": (
+        "Vector ingest gate: scan → project, zero exchanges, zero UDFs "
+        "— NaN scan and quantized-integer norms are per-vector array "
+        "expressions in one codegen stage."
     ),
 }
 

@@ -469,3 +469,52 @@ def test_pagerank_python_replay(spark):
     n_edges = sum(len(v) for v in edges.values())
     assert 0 <= leak <= n_edges * PR_ITERS
     assert len(set(got.values())) > 1  # weighted graph → non-uniform ranks
+
+
+def test_embedding_hygiene_numpy_replay(spark):
+    """float64 numpy replay of fault injection, NaN scan and quantized
+    norms; the gate must flag BOTH fault classes and keep the rest."""
+    import numpy as np
+
+    from astrospark.ops.similarity import (
+        HYGIENE_DIM,
+        HYGIENE_NAN_MOD,
+        HYGIENE_ZERO_MOD,
+        QUANT_SCALE,
+        embedding_hygiene,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    expected = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        if r.vec_id % HYGIENE_ZERO_MOD == 0:
+            v = np.zeros_like(v)
+        elif r.vec_id % HYGIENE_NAN_MOD == 1:
+            v = v.copy()
+            v[0] = np.nan
+        has_nan = int(np.isnan(v).any())
+        if has_nan:
+            norm = -1
+        else:
+            q = np.floor(v * QUANT_SCALE).astype(np.int64)
+            norm = int((q * q).sum())
+        kept = int(len(v) == HYGIENE_DIM and not has_nan and norm > 0)
+        expected[r.vec_id] = (len(v), has_nan, norm, kept)
+    got = {
+        r.vec_id: (r.n_dims, r.has_nan, r.norm2_q, r.kept)
+        for r in embedding_hygiene(spark, SF).collect()
+    }
+    assert got == expected
+    assert sum(1 for v in got.values() if v[1] == 1) > 0  # NaN class hit
+    assert sum(1 for v in got.values() if v[2] == 0) > 0  # zero-norm class hit
+    assert sum(v[3] for v in got.values()) > len(got) * 0.9  # clean majority
+
+
+def test_embedding_hygiene_no_shuffle(spark):
+    """Ingest gate is scan → project: zero exchanges, no UDF."""
+    from astrospark.ops.similarity import embedding_hygiene
+
+    plan = _plan(embedding_hygiene(spark, SF))
+    assert "Exchange (" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
