@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, max_bucket=None
         ),
         "simhash16": dedup.simhash16,
+        "dedup_substring_pairs": dedup.dedup_substring_pairs,
         # classic relational shapes over the TPC-H-ish tables
         "r1_pricing_summary": relational.r1_pricing_summary,
         "r2_segment_revenue": relational.r2_segment_revenue,
@@ -577,6 +578,27 @@ def _cooccur_sql() -> str:
         "round((n_docs * c_ab) / (ma.c * mb.c), 4) AS lift "
         "FROM p JOIN marg ma ON p.tok_a = ma.tok "
         "JOIN marg mb ON p.tok_b = mb.tok, n"
+    )
+
+
+def _substring_pairs_sql() -> str:
+    """Pair semantics replayed as a rare-gram self-join — equivalent to
+    the Spark posting-list expansion (sorted lists ⇒ doc_a < doc_b)."""
+    from astrospark.ops.dedup import MAX_DF, SUBSTR_N
+
+    n = SUBSTR_N
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        f"list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ') AS gram "
+        f"FROM w, unnest(generate_series(1, greatest(len(ws) - {n - 1}, 0))) AS t(i)), "
+        "rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram) "
+        f"WHERE df BETWEEN 2 AND {MAX_DF}), "
+        "sel AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS INT) AS n_shared "
+        "FROM sel a JOIN sel b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
     )
 
 
@@ -1147,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": _cooccur_sql(),
         "cooccur_pagerank": _pagerank_sql(),
         "embedding_hygiene": _hygiene_sql(),
+        "dedup_substring_pairs": _substring_pairs_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -533,3 +533,46 @@ def dedup_keep_best(
         .withColumn("keep_best", (F.row_number().over(w) == 1).cast("int"))
         .select("doc_id", "cluster_id", "n_chars", "is_canonical", "keep_best")
     )
+
+
+# exact-substring dedup: window length in words and the high-DF cutoff
+# (a SUBSTR_N-gram shared by > MAX_DF docs is boilerplate, not copying —
+# same bound, and the same k² blow-up guard, as the jaccard posting lists)
+SUBSTR_N = 8
+
+
+def dedup_substring_pairs(spark, sf_dir, n: int = SUBSTR_N, max_df: int = MAX_DF) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): two documents are
+    duplicate-linked iff they share any verbatim ``n``-word window —
+    the copied-fragment detector that hash-of-whole-doc (dedup_exact)
+    and bag-of-shingles Jaccard both miss (a 50-token lift inside an
+    otherwise-different page). Output: (doc_a, doc_b, n_shared) with
+    n_shared = count of distinct shared windows.
+
+    The reference suffix-array formulation is single-machine; the
+    Spark-native shape is the bounded posting list, identical to
+    dedup_ngram_jaccard's: distinct (doc_id, window) once, ONE window-key
+    shuffle, DF-capped lists (boilerplate windows discarded before any
+    collect), JVM-side pair expansion from sorted arrays — buffers
+    provably <= max_df, never a window self-join.
+    """
+    d = _docs(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = scoped_persist(
+        _shingles(d, n=n, dedup=True).repartition(n_part, "shingle")
+    )
+    rare = (
+        g.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, max_df))
+        .select("shingle")
+    )
+    posting = g.join(rare, "shingle").groupBy("shingle").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    )
+    return (
+        posting.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").cast("int").alias("n_shared"))
+    )

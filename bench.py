@@ -246,6 +246,7 @@ def main() -> None:
         "token_cooccurrence": _text.token_cooccurrence,
         "cooccur_pagerank": _graph.cooccur_pagerank,
         "embedding_hygiene": _similarity.embedding_hygiene,
+        "dedup_substring_pairs": _dedup.dedup_substring_pairs,
     }.items():
         rs = []
         for _ in range(REPEATS):

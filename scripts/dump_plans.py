@@ -249,6 +249,12 @@ NOTES = {
         "— NaN scan and quantized-integer norms are per-vector array "
         "expressions in one codegen stage."
     ),
+    "dedup_substring_pairs": (
+        "Exact-substring dedup as bounded posting lists (the "
+        "dedup_ngram_jaccard shape): ONE window-key shuffle, DF-capped "
+        "collect buffers, JVM-side pair expansion — never a window "
+        "self-join, never an unbounded buffer."
+    ),
 }
 
 

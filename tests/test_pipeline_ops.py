@@ -518,3 +518,36 @@ def test_embedding_hygiene_no_shuffle(spark):
     plan = _plan(embedding_hygiene(spark, SF))
     assert "Exchange (" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_substring_pairs_python_replay(spark):
+    """Set-based replay: distinct 8-word windows per doc, DF-capped,
+    pairwise shared-window counts — incl. that the planted near-dup
+    corpus makes the output non-empty."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from astrospark.ops.dedup import MAX_DF, SUBSTR_N, dedup_substring_pairs
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n = SUBSTR_N
+    docs_of = defaultdict(set)
+    for r in rows:
+        ws = r.text.split(" ")
+        for i in range(len(ws) - n + 1):
+            docs_of[" ".join(ws[i : i + n])].add(r.doc_id)
+    expected: Counter = Counter()
+    for gram, docs in docs_of.items():
+        if 2 <= len(docs) <= MAX_DF:
+            for a, b in combinations(sorted(docs), 2):
+                expected[(a, b)] += 1
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dedup_substring_pairs(spark, SF).collect()
+    }
+    assert got == dict(expected)
+    assert len(got) > 0  # planted near-dups share verbatim windows
