@@ -46,3 +46,33 @@ def test_kernel_equals_oracle_on_generated_docs(artifacts, chunks, kind):
         for r in out.itertuples()
     ]
     assert got == process_document(spans, vocab, trie, model)
+
+
+@given(st.integers(min_value=1, max_value=(1 << 62) - 1))
+@settings(max_examples=300, deadline=None)
+def test_log2q_bounds_and_floor(x):
+    """log2q over the full bigint range: floor(log2 x) recovered exactly
+    from the integer part, fractional part in [0, 2^F), and the value
+    never exceeds true log2 (mantissa interpolation is a lower bound)."""
+    import math
+
+    from astrospark.ops.text import LOG2Q_FBITS, log2q
+
+    v = log2q(x)
+    assert v // LOG2Q_FBITS == x.bit_length() - 1
+    assert 0 <= v - (x.bit_length() - 1) * LOG2Q_FBITS < LOG2Q_FBITS
+    # lower bound with < 0.09-bit slack; exact at powers of two
+    assert v <= math.log2(x) * LOG2Q_FBITS + 1e-9
+    assert math.log2(x) - v / LOG2Q_FBITS < 0.09
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=(1 << 61)), min_size=2, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_log2q_monotone(xs):
+    from astrospark.ops.text import log2q
+
+    xs = sorted(set(xs))
+    vals = [log2q(x) for x in xs]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
