@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_gate": text.source_quality_gate,
         "bm25_topk": text.bm25_topk,
         "perplexity_filter": text.perplexity_filter,
+        "hll_distinct_words": text.hll_distinct_words,
         "pii_redact": text.pii_redact,
         "corpus_stats_rollup": text.corpus_stats_rollup,
         "token_cooccurrence": text.token_cooccurrence,
@@ -578,6 +579,58 @@ def _cooccur_sql() -> str:
         "round((n_docs * c_ab) / (ma.c * mb.c), 4) AS lift "
         "FROM p JOIN marg ma ON p.tok_a = ma.tok "
         "JOIN marg mb ON p.tok_b = mb.tok, n"
+    )
+
+
+def _hll_sql() -> str:
+    """Register-exact HLL replay: same md5-nibble bucket/rho, the same
+    scaled-integer power sum, and the same log2q linear-counting branch
+    — the estimate itself hash-matches, not just the registers."""
+    from astrospark.ops.text import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W,
+        LOG2Q_FBITS,
+    )
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    bucket = f"(({nib.format(i=1)} * 16 + {nib.format(i=2)}) % {HLL_M})"
+    # 16^14 is a 17-digit literal — DuckDB types it DECIMAL(18) and the
+    # polynomial overflows decimal math; explicit BIGINT casts keep the
+    # whole sum in int64 (max value 2^60)
+    v = " + ".join(
+        f"{nib.format(i=i)} * CAST({16 ** (17 - i)} AS BIGINT)"
+        for i in range(3, 18)
+    )
+    log2q = (
+        "((length(format('{:b}', lcr)) - 1) * 1024 + "
+        "(lcr - (1::BIGINT << (length(format('{:b}', lcr)) - 1))) * 1024 // "
+        "(1::BIGINT << (length(format('{:b}', lcr)) - 1)))"
+    )
+    return (
+        "WITH wd AS (SELECT source, md5(w) AS h FROM "
+        "(SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), "
+        f"f AS (SELECT source, {bucket} AS bucket, ({v}) AS v FROM wd), "
+        "r AS (SELECT source, bucket, max(CASE WHEN v = 0 THEN 61 "
+        "ELSE 61 - length(format('{:b}', v)) END) AS m_rho "
+        "FROM f GROUP BY source, bucket), "
+        "p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs, "
+        f"CAST(sum(1::BIGINT << ({HLL_W} - least(m_rho, {HLL_W}))) AS BIGINT) "
+        "AS s_used FROM r GROUP BY source), "
+        f"s1 AS (SELECT source, {HLL_M} - n_regs AS v_empty, "
+        f"CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} * (1::BIGINT << {HLL_W}) "
+        f"/ (s_used + ({HLL_M} - n_regs) * (1::BIGINT << {HLL_W})) AS raw FROM p), "
+        "s2 AS (SELECT source, raw, v_empty, CASE WHEN v_empty > 0 "
+        f"THEN ({HLL_M} * {1 << 20}) // v_empty ELSE 1 END AS lcr FROM s1), "
+        "est AS (SELECT source, CASE "
+        f"WHEN raw <= {2.5 * HLL_M} AND v_empty > 0 THEN "
+        f"round(({HLL_M} * ({log2q} - {20 * LOG2Q_FBITS})) "
+        f"* CAST(0.6931471805599453 AS DOUBLE) / {LOG2Q_FBITS}.0, 4) "
+        "ELSE round(raw, 4) END AS hll_est FROM s2), "
+        "ex AS (SELECT source, CAST(count(DISTINCT w) AS INT) AS n_exact FROM "
+        "(SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) "
+        "GROUP BY source) "
+        "SELECT ex.source, ex.n_exact, est.hll_est FROM ex JOIN est USING (source)"
     )
 
 
@@ -1170,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_pagerank": _pagerank_sql(),
         "embedding_hygiene": _hygiene_sql(),
         "dedup_substring_pairs": _substring_pairs_sql(),
+        "hll_distinct_words": _hll_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

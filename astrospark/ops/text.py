@@ -919,3 +919,115 @@ def token_cooccurrence(spark, sf_dir) -> DataFrame:
             F.round((F.col("n_docs") * F.col("c_ab")) / (F.col("c_a") * F.col("c_b")), 4).alias("lift"),
         )
     )
+
+
+# HyperLogLog sketch parameters: m = 2^HLL_P registers; rho measured over
+# HLL_W hash bits (15 md5 nibbles = 60 bits, < 2^63 everywhere); the
+# register power-sum is scaled by 2^HLL_W so it stays an exact integer
+# (64 registers × 2^60 < 2^66 would overflow — rho is capped at HLL_W,
+# giving sum ≤ m·2^HLL_W-per-register bounded by construction below).
+HLL_P = 6  # 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 40  # power-sum scale bits; rho > 40 clamps (P(rho>40) ≈ 2^-40)
+# alpha_64 = 0.7213/(1 + 1.079/64), the standard HLL bias constant
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 64)
+
+
+def _hll_fields(wd):
+    """(bucket, v) for a word: bucket = first 8 md5 bits mod m; v = the
+    next 60 hash bits (15 nibbles) from which rho (leading-zero count
+    + 1, via the binary-string length — the log2q primitive) is derived
+    AFTER v materializes as a column. Portable nibble arithmetic,
+    bit-identical in DuckDB."""
+    h = F.md5(wd)
+    b = None
+    for i in range(2):
+        nib = (F.instr(F.lit(_HEXMAP), F.substring(h, i + 1, 1)) - 1).cast("long")
+        b = nib if b is None else b * 16 + nib
+    v = None
+    for i in range(2, 17):
+        nib = (F.instr(F.lit(_HEXMAP), F.substring(h, i + 1, 1)) - 1).cast("long")
+        v = nib if v is None else v * 16 + nib
+    return (b % HLL_M).alias("bucket"), v.alias("v")
+
+
+def hll_distinct_words(spark, sf_dir) -> DataFrame:
+    """Cross-engine-exact HyperLogLog: per-source distinct-word estimate
+    from 64 max-registers — the mergeable cardinality sketch every
+    distributed OLAP engine ships (Flajolet et al. 2007), built so even
+    the ESTIMATE replays bit-for-bit in DuckDB: md5-nibble bucket/rho,
+    and the harmonic-mean denominator kept as an exact integer
+    Σ 2^(W−min(rho,W)) (a float Σ2^−rho rounds order-dependently once
+    exponents span > 53 bits; the scaled-integer sum never rounds). The
+    raw estimate α·m²·2^W / S divides identical exact operands → one
+    IEEE division, then round(,4).
+
+    Scale shape: THE point of a sketch — registers are max-mergeable, so
+    the shuffle is ONE (source, bucket) max-aggregation with map-side
+    combine: 10^12 words collapse to ≤ 64 rows per source per task, and
+    register tables from different days/partitions union+max without
+    rescanning anything. ``n_exact`` (count_distinct) rides along here
+    as the accuracy reference; at real scale you would ship only the
+    sketch. No small/large-range corrections (documented raw-HLL
+    regime; the test pins relative error ≪ the 1.04/√64 = 13% bound).
+    """
+    d = _docs(spark, sf_dir).select("source", "text")
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    bucket, v = _hll_fields(F.col("w"))
+    fields = words.select("source", bucket, v).select(
+        "source",
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(61))
+        .otherwise(F.lit(61) - (F.length(F.expr("bin(v)"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = fields.groupBy("source", "bucket").agg(F.max("rho").alias("m_rho"))
+    per_src = regs.groupBy("source").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_W} - least(m_rho, {HLL_W}))")
+        ).alias("s_used"),
+    )
+    exact = (
+        words.distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("int").alias("n_exact"))
+    )
+    # small-range regime (raw <= 2.5m with empty registers): standard HLL
+    # switches to linear counting m·ln(m/V). ln via the log2q primitive
+    # (· ln2) so the corrected estimate is STILL cross-engine exact — a
+    # float ln(m/V) is not guaranteed bit-identical between libm and the
+    # JVM, log2q is integers.
+    # alpha is CAST to DOUBLE explicitly: both engines would otherwise
+    # parse the long literal as DECIMAL (Spark silently widens to
+    # DECIMAL(38), DuckDB overflows DECIMAL(18) — and decimal vs double
+    # arithmetic would diverge between them anyway)
+    raw = (
+        f"CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} "
+        f"* shiftleft(cast(1 as bigint), {HLL_W}) "
+        f"/ (s_used + ({HLL_M} - n_regs) * shiftleft(cast(1 as bigint), {HLL_W}))"
+    )
+    s1 = per_src.select(
+        "source",
+        F.expr(f"{HLL_M} - n_regs").alias("v_empty"),
+        F.expr(raw).alias("raw"),
+    )
+    s2 = s1.select(
+        "source",
+        "raw",
+        "v_empty",
+        F.expr(
+            f"IF(v_empty > 0, ({HLL_M} * {1 << 20}) div v_empty, 1)"
+        ).alias("lcr"),
+    )
+    est = s2.select(
+        "source",
+        F.expr(
+            f"CASE WHEN raw <= {2.5 * HLL_M} AND v_empty > 0 THEN "
+            f"round(({HLL_M} * ({_log2q_sql('lcr')} - {20 * LOG2Q_FBITS})) "
+            f"* CAST(0.6931471805599453 AS DOUBLE) / {LOG2Q_FBITS}.0, 4) "
+            "ELSE round(raw, 4) END"
+        ).alias("hll_est"),
+    )
+    return exact.join(est, "source").select("source", "n_exact", "hll_est")

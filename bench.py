@@ -247,6 +247,7 @@ def main() -> None:
         "cooccur_pagerank": _graph.cooccur_pagerank,
         "embedding_hygiene": _similarity.embedding_hygiene,
         "dedup_substring_pairs": _dedup.dedup_substring_pairs,
+        "hll_distinct_words": _text.hll_distinct_words,
     }.items():
         rs = []
         for _ in range(REPEATS):

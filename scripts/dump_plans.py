@@ -255,6 +255,12 @@ NOTES = {
         "collect buffers, JVM-side pair expansion — never a window "
         "self-join, never an unbounded buffer."
     ),
+    "hll_distinct_words": (
+        "Mergeable cardinality sketch: ONE (source, bucket) max-agg "
+        "shuffle with map-side combine — 10^12 words collapse to <=64 "
+        "rows per source per task; register tables from different "
+        "partitions union+max without rescans (the point of sketches)."
+    ),
 }
 
 

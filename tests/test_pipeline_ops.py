@@ -551,3 +551,110 @@ def test_substring_pairs_python_replay(spark):
     }
     assert got == dict(expected)
     assert len(got) > 0  # planted near-dups share verbatim windows
+
+
+def _hll_replay(rows):
+    """Scalar HLL replay: md5-nibble bucket/rho, scaled-integer power
+    sum, raw-vs-linear-counting branch — mirrors the documented op."""
+    import hashlib
+    from collections import defaultdict
+
+    from astrospark.ops.text import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W,
+        LOG2Q_FBITS,
+        log2q,
+    )
+
+    regs: dict = defaultdict(dict)
+    exact: dict = defaultdict(set)
+    for source, text in rows:
+        for w in text.split(" "):
+            exact[source].add(w)
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:2], 16) % HLL_M
+            v = int(h[2:17], 16)
+            rho = 61 if v == 0 else 61 - v.bit_length()
+            regs[source][b] = max(regs[source].get(b, 0), rho)
+    out = {}
+    for source, r in regs.items():
+        s_used = sum(1 << (HLL_W - min(m, HLL_W)) for m in r.values())
+        v_empty = HLL_M - len(r)
+        raw = (HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_W)) / (
+            s_used + v_empty * (1 << HLL_W)
+        )
+        if raw <= 2.5 * HLL_M and v_empty > 0:
+            lcr = (HLL_M << 20) // v_empty
+            est = round(
+                (HLL_M * (log2q(lcr) - 20 * LOG2Q_FBITS))
+                * 0.6931471805599453
+                / float(LOG2Q_FBITS),
+                4,
+            )
+        else:
+            est = round(raw, 4)
+        out[source] = (len(exact[source]), est)
+    return out
+
+
+def test_hll_python_replay_and_accuracy(spark):
+    """Spark == scalar replay on the driver corpus (linear-counting
+    regime), and the estimate lands within the 1.04/sqrt(m)≈13% HLL
+    error bound everywhere."""
+    from astrospark.ops.text import hll_distinct_words
+
+    rows = [
+        (r.source, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ]
+    expected = _hll_replay(rows)
+    got = {
+        r.source: (r.n_exact, r.hll_est)
+        for r in hll_distinct_words(spark, SF).collect()
+    }
+    assert got == expected
+    for n_exact, est in got.values():
+        assert abs(est - n_exact) / n_exact < 0.13
+
+
+def test_hll_raw_branch_cross_engine(spark, tmp_path):
+    """The raw-HLL branch (high cardinality, no empty registers) checked
+    Spark vs DuckDB on a synthetic 2000-distinct-word corpus — the
+    regime the driver testdata never reaches."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from astrospark.ops.text import hll_distinct_words
+
+    words = [f"w{i}x" for i in range(2000)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [" ".join(words[i * 100 : (i + 1) * 100]) for i in range(20)],
+            "lang": ["en"] * 20,
+            "source": ["big"] * 20,
+            "n_chars": [0] * 20,
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.to_parquet(path)
+    got = {
+        r.source: (r.n_exact, r.hll_est)
+        for r in hll_distinct_words(spark, str(tmp_path)).collect()
+    }
+    expected = _hll_replay(list(zip(docs.source, docs.text)))
+    assert got == expected
+    assert got["big"][0] == 2000
+    # raw branch: estimate well above the 2.5m linear-counting ceiling
+    assert got["big"][1] > 2.5 * 64
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(E.oracle_sql()["hll_distinct_words"]).fetchall()
+    }
+    assert duck == got
