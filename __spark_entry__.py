@@ -95,21 +95,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": _extract_documents,
         "extract_interleaved": _extract_interleaved,
         "extraction_kind_counts": _extraction_kind_counts,
-        # SQL-checkable operator family (SURVEY §2 ids in the names)
-        "p1_whitespace_normalize": text.p1_whitespace_normalize,
-        "p2_blank_filter": text.p2_blank_filter,
-        "t1_ws_token_stats": text.t1_ws_token_stats,
-        "t2_regex_token_count": text.t2_regex_token_count,
-        "s3_sentence_chunks": text.s3_sentence_chunks,
-        "j1_dict_semijoin": text.j1_dict_semijoin,
-        "o1_top_docs": text.o1_top_docs,
-        "o3_corpus_split": text.o3_corpus_split,
-        "a4_source_stats": text.a4_source_stats,
+        # ANN / embedding family next (VERDICT r3 "Next round" #1): the
+        # driver value-checks the FIRST 50 dict entries, and these 13
+        # rows sat at positions 50-62 in r3 so they never reached a
+        # driver CORRECTNESS artifact — promoted here so CORRECTNESS_r04
+        # carries hard driver signal for them. 13 long-green r1-era rows
+        # (p1/p2/t1/t2/s3/j1/o1/o3/a4/quality/b1/lang_id/fingerprint_md5,
+        # driver-green in r1+r2+r3) are demoted to the tail in exchange.
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "emb_neardup_pairs": similarity.emb_neardup_pairs,
+        # scale-default RP-LSH family (65,536 bucket keys per band; the
+        # sign_bucket queries stay as the 16-bucket oracle setting)
+        "ann_rp_topk": similarity.ann_rp_topk,
+        # max_bucket=None pins exhaustive pair semantics for the oracles
+        # (the DuckDB twins enumerate pairs exhaustively, and a
+        # >max_bucket LSH bucket in some future sf corpus would silently
+        # diverge otherwise); the library DEFAULTS stay bounded.
+        # probe_depths is pinned to the single full-depth band pass the
+        # oracle replays; the library default is the deployment knob
+        # (16, 8) — BENCH/RECALL.md §3.
+        "emb_neardup_banded": lambda spark, sf_dir: similarity.emb_neardup_banded(
+            spark, sf_dir, max_bucket=None, probe_depths=(similarity.RP_BITS,)
+        ),
+        "knn_join": lambda spark, sf_dir: similarity.knn_join(
+            spark, sf_dir, max_bucket=None
+        ),
+        "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
+            spark, sf_dir, max_bucket=None
+        ),
+        "dedup_cc_clusters": lambda spark, sf_dir: dedup.dedup_cc_clusters(
+            spark, sf_dir, max_bucket=None
+        ),
+        "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
+        "semantic_dedup": lambda spark, sf_dir: similarity.semantic_dedup(
+            spark, sf_dir, max_cell=None
+        ),
+        # product quantization: trained per-subspace codebooks compress
+        # each vector to m codes; ADC scores from codes alone. The
+        # contract pins the oracle-replayable toy codebook (m=4, k=16);
+        # the library DEFAULT is the production parameterization
+        # (PQ_M=8, PQ_K=256 — VERDICT r3 "Next round" #3).
+        "embedding_hygiene": similarity.embedding_hygiene,
+        "pq_codes": lambda spark, sf_dir: similarity.pq_codes(
+            spark, sf_dir, m=similarity.PQ_ORACLE_M, k=similarity.PQ_ORACLE_K
+        ),
+        "ann_pq_topk": lambda spark, sf_dir: similarity.ann_pq_topk(
+            spark, sf_dir, m=similarity.PQ_ORACLE_M, k=similarity.PQ_ORACLE_K
+        ),
+        "ann_ivfadc_topk": lambda spark, sf_dir: similarity.ann_ivfadc_topk(
+            spark, sf_dir, m=similarity.PQ_ORACLE_M, k=similarity.PQ_ORACLE_K
+        ),
         # training-data pipeline: text analysis
-        "quality_score": text.quality_score,
-        "b1_boilerplate_strip": text.b1_boilerplate_strip,
-        "lang_id_stopwords": text.lang_id_stopwords,
-        "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
         "decontaminate_ngram": text.decontaminate_ngram,
@@ -158,38 +194,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "emb_neardup_pairs": similarity.emb_neardup_pairs,
-        # scale-default RP-LSH family (65,536 bucket keys per band; the
-        # sign_bucket queries above stay as the 16-bucket oracle setting)
-        "ann_rp_topk": similarity.ann_rp_topk,
-        # max_bucket=None pins exhaustive pair semantics for the oracles
-        # (same reason as dedup_minhash_lsh above: the DuckDB twins
-        # enumerate pairs exhaustively, and a >max_bucket LSH bucket in
-        # some future sf corpus would silently diverge otherwise); the
-        # library DEFAULTS stay bounded
-        "emb_neardup_banded": lambda spark, sf_dir: similarity.emb_neardup_banded(
-            spark, sf_dir, max_bucket=None
-        ),
-        "knn_join": lambda spark, sf_dir: similarity.knn_join(
-            spark, sf_dir, max_bucket=None
-        ),
-        "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
-            spark, sf_dir, max_bucket=None
-        ),
-        "dedup_cc_clusters": lambda spark, sf_dir: dedup.dedup_cc_clusters(
-            spark, sf_dir, max_bucket=None
-        ),
-        "ann_ivf_kmeans_topk": similarity.ann_ivf_kmeans_topk,
-        "semantic_dedup": lambda spark, sf_dir: similarity.semantic_dedup(
-            spark, sf_dir, max_cell=None
-        ),
-        # product quantization: trained per-subspace codebooks compress
-        # each vector to PQ_M codes; ADC scores from codes alone
-        "embedding_hygiene": similarity.embedding_hygiene,
-        "pq_codes": similarity.pq_codes,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
+        # long-green r1-era rows (driver-green in r1+r2+r3), demoted past
+        # the driver's 50-row window in exchange for the ANN family above
+        "p1_whitespace_normalize": text.p1_whitespace_normalize,
+        "p2_blank_filter": text.p2_blank_filter,
+        "t1_ws_token_stats": text.t1_ws_token_stats,
+        "t2_regex_token_count": text.t2_regex_token_count,
+        "s3_sentence_chunks": text.s3_sentence_chunks,
+        "j1_dict_semijoin": text.j1_dict_semijoin,
+        "o1_top_docs": text.o1_top_docs,
+        "o3_corpus_split": text.o3_corpus_split,
+        "a4_source_stats": text.a4_source_stats,
+        "quality_score": text.quality_score,
+        "b1_boilerplate_strip": text.b1_boilerplate_strip,
+        "lang_id_stopwords": text.lang_id_stopwords,
+        "fingerprint_md5": text.fingerprint_md5,
     }
 
 
@@ -1031,7 +1050,12 @@ def _pq_ctes() -> list[str]:
     unrolled) down to `enc AS (vec_id, m, code)` + the final codebook
     `cb{N}` — the same bit-exact construction as _kmeans_cell_ctes, keyed
     by (vec_id, m) so all PQ_M subspaces train in one replay."""
-    from astrospark.ops.similarity import PQ_ITERS, PQ_K, PQ_M, QUANT_SCALE
+    from astrospark.ops.similarity import (
+        PQ_ITERS,
+        PQ_ORACLE_K as PQ_K,
+        PQ_ORACLE_M as PQ_M,
+        QUANT_SCALE,
+    )
 
     ctes = [
         "dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)",

@@ -25,14 +25,36 @@ compare) need no release — session teardown drops the cache. At 10^12
 rows the right move is coarser still: materialize signatures as a table
 (see dedup.dedup_minhash_lsh docstring) instead of relying on block-
 manager caching at all.
+
+OWNERSHIP CONTRACT (ADVICE r3): the registry is module-global and
+process-wide — ``release_caches()`` drops EVERY registered cache, and
+the plan-equality dedup means a later handle's release also drops an
+earlier builder's live cache. This is by design for the library's
+actual callers (bench.py, scripts/check_contract.py, a user session
+iterating query-by-query), all of which build → materialize → release
+SEQUENTIALLY. It is NOT safe to interleave: do not call
+``release_caches()`` while another thread (or an outer builder whose
+output you have not yet materialized) still depends on a registered
+cache. Concurrent pipelines should either share one release point at a
+barrier or run in separate SparkSessions.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_RELEASE_HOOKS: list[Callable[[], None]] = []
+
+
+def register_release(fn: Callable[[], None]) -> None:
+    """Register a callback the next ``release_caches()`` runs — for
+    cached state CacheManager cannot see (e.g. the executor-local
+    blocks behind a ``localCheckpoint``, dedup.cc_labels)."""
+    _RELEASE_HOOKS.append(fn)
 
 
 def _plan_already_cached(df: DataFrame) -> bool:
@@ -72,5 +94,12 @@ def release_caches() -> int:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to release
+            pass
+    while _RELEASE_HOOKS:
+        fn = _RELEASE_HOOKS.pop()
+        try:
+            fn()
+            n += 1
+        except Exception:
             pass
     return n

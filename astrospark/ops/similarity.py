@@ -490,18 +490,21 @@ def emb_neardup_banded(
     spark,
     sf_dir,
     max_bucket: int | None = RP_MAX_BUCKET,
-    probe_depths=(RP_BITS,),
+    probe_depths=RP_PROBE_DEPTHS,
 ) -> DataFrame:
     """Near-duplicate detection over 65k-bucket banded RP-LSH.
 
-    Candidates collide in ≥1 full-depth band; pairs expand from bounded
-    posting lists (collect_set per (band, bk), capped at ``max_bucket`` —
-    the dedup_minhash_lsh guard), then exact-cosine verify.
-    ``probe_depths`` is the recall knob (BENCH/RECALL.md §3 measures it):
-    adding the 8-bit prefix — ``(16, 8)`` — raises pair recall at the
-    cost of coarser-bucket candidate volume. Output keeps
-    every candidate with its verdict (is_neardup = cos ≥ NEARDUP_COS) so
-    the filter-verification accounting is visible.
+    Candidates collide in ≥1 (band, probe-depth) bucket; pairs expand
+    from bounded posting lists (collect_set per (band, depth, bk),
+    capped at ``max_bucket`` — the dedup_minhash_lsh guard), then
+    exact-cosine verify. ``probe_depths`` is the recall knob
+    (BENCH/RECALL.md §3 measures it): the LIBRARY DEFAULT is the
+    deployment knob ``RP_PROBE_DEPTHS = (16, 8)`` — 0.90 planted-pair
+    recall at cos ≥ 0.9 vs 0.27 for the single full-depth pass
+    (VERDICT r3 "Next round" #4); the contract pins ``(16,)``, the
+    setting the DuckDB oracle replays. Output keeps every candidate
+    with its verdict (is_neardup = cos ≥ NEARDUP_COS) so the
+    filter-verification accounting is visible.
 
     Replaces emb_neardup_pairs as the scale default: the same-bucket join
     there runs over 16 buckets (≈N²/16 pairs at web scale); here a bucket
@@ -742,32 +745,41 @@ def semantic_dedup(
     )
 
 
-# Product-quantization params: PQ_M subspaces of dim/PQ_M components
-# each, PQ_K codewords per subspace, trained by the same deterministic
+# Product-quantization params: m subspaces of dim/m components each, k
+# codewords per subspace, trained by the same deterministic
 # fixed-iteration Lloyd machinery as kmeans_centroids. One vector
-# compresses to PQ_M small codes — at web scale that is the difference
-# between shipping raw float32 vectors (100 TB) and shipping ~4 bytes
+# compresses to m small codes — at web scale that is the difference
+# between shipping raw float32 vectors (100 TB) and shipping ~8 bytes
 # per vector to the scoring stage.
-PQ_M = 4
-PQ_K = 16
+#
+# PQ_M/PQ_K are the LIBRARY DEFAULTS — the production parameterization
+# (Jégou et al. 2011 run 8-64 subspaces × 256 codewords; recall@10 at
+# these knobs is measured in BENCH/RECALL.md §PQ). PQ_ORACLE_M/K are the
+# CONTRACT-ONLY pin: the DuckDB twin replays the unrolled Lloyd training
+# bit-for-bit, and the tiny codebook keeps that replay tractable — the
+# same defaults-vs-oracle-pin split as max_bucket (VERDICT r3 #3).
+PQ_M = 8
+PQ_K = 256
+PQ_ORACLE_M = 4
+PQ_ORACLE_K = 16
 PQ_ITERS = 2
 
 
-def _pq_subvectors(spark, sf_dir) -> DataFrame:
+def _pq_subvectors(spark, sf_dir, m: int = PQ_M) -> DataFrame:
     """Long-format quantized subvectors (vec_id, m, sq): the full vector
-    splits into PQ_M contiguous slices; quantization (floor(x·SCALE))
+    splits into ``m`` contiguous slices; quantization (floor(x·SCALE))
     keeps every downstream distance an exact integer, so assignments and
     ADC sums are engine-exact (same rationale as `quantize`)."""
     e = _emb(spark, sf_dir)
     dim = _emb_dim(e)
-    sub = dim // PQ_M
+    sub = dim // m
     qv = quantize(F.col("embedding").cast("array<double>"))
     subs = F.array(
         *[
             F.struct(
-                F.lit(m).alias("m"), F.slice(qv, m * sub + 1, sub).alias("sq")
+                F.lit(mi).alias("m"), F.slice(qv, mi * sub + 1, sub).alias("sq")
             )
-            for m in range(PQ_M)
+            for mi in range(m)
         ]
     )
     return (
@@ -785,24 +797,27 @@ def _pq_l2(a, b):
     )
 
 
-def pq_codebooks(spark, sf_dir, iters: int = PQ_ITERS) -> DataFrame:
+def pq_codebooks(
+    spark, sf_dir, iters: int = PQ_ITERS, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
     """Per-subspace PQ codebooks (m, code, qc) — Lloyd k-means run on
     every subspace AT ONCE (the subspace id rides the group key, so all
-    PQ_M trainings share one plan). Deterministic end to end: integer
+    ``m`` trainings share one plan). Deterministic end to end: integer
     squared-L2 assignment with code-asc tie-break, floor(avg) centroid
     update, empty cells keep their previous codeword; the DuckDB oracle
-    replays the unrolled iterations bit-for-bit.
+    replays the unrolled iterations bit-for-bit (at the PQ_ORACLE_M/K
+    pin — the library default is the production 8×256 codebook).
 
-    Scale shape: per iteration ONE broadcast join (PQ_M·PQ_K = 64
+    Scale shape: per iteration ONE broadcast join (m·k ≤ 2048
     codewords) + ONE argmin window keyed (vec_id, m) + ONE per-(m, code)
     partial-avg aggregation — subvectors never shuffle against each
     other, same as the coarse k-means."""
     from pyspark.sql import Window
 
-    sv = _pq_subvectors(spark, sf_dir)
+    sv = _pq_subvectors(spark, sf_dir, m=m)
     e = _emb(spark, sf_dir)
-    sub = _emb_dim(e) // PQ_M
-    cents = sv.filter(F.col("vec_id").between(1, PQ_K)).select(
+    sub = _emb_dim(e) // m
+    cents = sv.filter(F.col("vec_id").between(1, k)).select(
         "m", F.col("vec_id").alias("code"), F.col("sq").alias("qc")
     )
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
@@ -835,17 +850,17 @@ def pq_codebooks(spark, sf_dir, iters: int = PQ_ITERS) -> DataFrame:
     return scoped_persist(cents)
 
 
-def pq_codes(spark, sf_dir) -> DataFrame:
-    """PQ encoding (vec_id, m, code): every vector compresses to PQ_M
+def pq_codes(spark, sf_dir, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """PQ encoding (vec_id, m, code): every vector compresses to ``m``
     nearest-codeword ids — the asymmetric-distance index payload. One
-    broadcast join (64 codewords) + one argmin window; the raw vectors
+    broadcast join (m·k codewords) + one argmin window; the raw vectors
     are read once and never shuffled, which is the whole point: the
-    persisted index is PQ_M small ints per vector, ~1000× smaller than
-    the float32 corpus it stands in for."""
+    persisted index is ``m`` small ints per vector, ~100-1000× smaller
+    than the float32 corpus it stands in for."""
     from pyspark.sql import Window
 
-    sv = _pq_subvectors(spark, sf_dir)
-    cents = pq_codebooks(spark, sf_dir)
+    sv = _pq_subvectors(spark, sf_dir, m=m)
+    cents = pq_codebooks(spark, sf_dir, m=m, k=k)
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
     scored = sv.join(F.broadcast(cents), "m").select(
         "vec_id", "m", "code", _pq_l2(F.col("sq"), F.col("qc")).alias("d")
@@ -863,23 +878,27 @@ def pq_codes(spark, sf_dir) -> DataFrame:
     )
 
 
-def ann_pq_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
+def ann_pq_topk(
+    spark, sf_dir, query_vec_id: int = 0, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
     """PQ asymmetric-distance top-k (the ADC half of IVFADC, Jégou et
     al. 2011): the query's exact squared-L2 to every codeword forms a
-    PQ_M×PQ_K lookup table; a database vector's approximate distance is
+    m×k lookup table; a database vector's approximate distance is
     the SUM of its codes' table entries — computed entirely from the
     compressed codes, never touching raw database vectors.
 
-    Scale shape: the distance table (64 rows) BROADCASTS onto the code
-    table; scoring is one broadcast join + one doc-keyed sum + a
-    TakeOrdered — at 10^12 vectors the scan reads PQ_M ints per vector
-    instead of the full float array, and composes with the IVF cell
-    pruning of ``ann_ivf_kmeans_topk`` for the full IVFADC layout.
+    Scale shape: the distance table (m·k ≤ 2048 rows) BROADCASTS onto
+    the code table; scoring is one broadcast join + one doc-keyed sum +
+    a TakeOrdered — at 10^12 vectors the scan reads ``m`` ints per
+    vector instead of the full float array, and composes with the IVF
+    cell pruning of ``ann_ivf_kmeans_topk`` for the full IVFADC layout.
     Distances are exact integers (quantized components), so ranking and
-    ties (adist asc, vec_id asc) replay identically in DuckDB."""
-    sv = _pq_subvectors(spark, sf_dir)
-    codes = pq_codes(spark, sf_dir)
-    cents = pq_codebooks(spark, sf_dir)
+    ties (adist asc, vec_id asc) replay identically in DuckDB (at the
+    PQ_ORACLE_M/K contract pin; the library default is the production
+    8×256 codebook — recall measured in BENCH/RECALL.md §PQ)."""
+    sv = _pq_subvectors(spark, sf_dir, m=m)
+    codes = pq_codes(spark, sf_dir, m=m, k=k)
+    cents = pq_codebooks(spark, sf_dir, m=m, k=k)
     qsub = sv.filter(F.col("vec_id") == query_vec_id).select(
         "m", F.col("sq").alias("q_sq")
     )
@@ -897,7 +916,12 @@ def ann_pq_topk(spark, sf_dir, query_vec_id: int = 0) -> DataFrame:
 
 
 def ann_ivfadc_topk(
-    spark, sf_dir, query_vec_id: int = 0, nprobe: int = 1
+    spark,
+    sf_dir,
+    query_vec_id: int = 0,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    k: int = PQ_K,
 ) -> DataFrame:
     """Full IVFADC retrieval (Jégou et al. 2011): IVF cell pruning
     (the trained coarse quantizer of ``ann_ivf_kmeans_topk``) composed
@@ -922,9 +946,9 @@ def ann_ivfadc_topk(
         (F.col("vec_id") == query_vec_id) & (F.col("rnk") <= nprobe)
     ).select(F.col("cell").alias("q_cell"))
 
-    sv = _pq_subvectors(spark, sf_dir)
-    codes = pq_codes(spark, sf_dir)
-    cents = pq_codebooks(spark, sf_dir)
+    sv = _pq_subvectors(spark, sf_dir, m=m)
+    codes = pq_codes(spark, sf_dir, m=m, k=k)
+    cents = pq_codebooks(spark, sf_dir, m=m, k=k)
     qsub = sv.filter(F.col("vec_id") == query_vec_id).select(
         "m", F.col("sq").alias("q_sq")
     )
@@ -980,9 +1004,13 @@ def embedding_hygiene(spark, sf_dir) -> DataFrame:
         )
         .when(
             F.col("vec_id") % HYGIENE_NAN_MOD == 1,
+            # open-ended tail slice (ADVICE r3): the DuckDB twin uses
+            # emb[2:], so slice to the ACTUAL array end — a corpus whose
+            # dim exceeds HYGIENE_DIM would otherwise diverge between
+            # engines on the injected vector's n_dims
             F.concat(
                 F.array(F.expr("CAST('NaN' AS DOUBLE)")),
-                F.slice(emb_d, 2, HYGIENE_DIM - 1),
+                F.slice(emb_d, 2, F.size(emb_d) - 1),
             ),
         )
         .otherwise(emb_d)

@@ -1,7 +1,13 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints ONE COMPACT JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The stdout line carries ONLY the headline payload (VERDICT r3 "Next
+round" #2 — r3's line outgrew the driver's tail-capture window and the
+official artifact lost its headline value to truncation). Everything
+else — per-query raw repeats, the 22 extra-query timings, full CPU
+control blocks, service latency — goes to BENCH/bench_detail.json.
 
 Noise defense (VERDICT r2 "Next round" #1 — this sandbox VM's wall-clock
 is ±3-6× per query run-to-run from host-level steal):
@@ -73,9 +79,15 @@ def cpu_control() -> dict:
     }
 
 
-# ops benched at the sf dir alongside extraction — the same 14-query set
-# as rounds 1-2 (comparable headline), but resolved to the LIBRARY
-# DEFAULT entry points (bounded buckets), not the queries() oracle pins
+# ops benched at the sf dir alongside extraction — the r1/r2 headline
+# query set, resolved to the LIBRARY DEFAULT entry points (bounded
+# buckets), not the queries() oracle pins. Round-4 change (VERDICT r3
+# "Next round" #5): emb_neardup_pairs — the deliberately-weak 16-bucket
+# sign-LSH oracle variant, slowest headline query in r3 — moved to
+# extra_queries; the scale-default banded RP family (ann_rp_topk +
+# emb_neardup_banded, added to the headline in r3) now represents the
+# neardup workload, so the headline times library-default code paths
+# only. Headline totals remain comparable minus that one entry.
 def bench_queries() -> dict:
     from astrospark.ops import dedup, relational, similarity, text
 
@@ -89,7 +101,6 @@ def bench_queries() -> dict:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "simhash16": dedup.simhash16,
         "ann_cosine_topk": similarity.ann_cosine_topk,
-        "emb_neardup_pairs": similarity.emb_neardup_pairs,
         "ann_rp_topk": similarity.ann_rp_topk,
         "emb_neardup_banded": similarity.emb_neardup_banded,
         "r1_pricing_summary": relational.r1_pricing_summary,
@@ -226,6 +237,7 @@ def main() -> None:
 
     extra_timings: dict[str, float] = {}
     for name, fn in {
+        "emb_neardup_pairs": _similarity.emb_neardup_pairs,
         "dedup_cc_clusters": _dedup.dedup_cc_clusters,
         "repetition_filters": _text.repetition_filters,
         "decontaminate_ngram": _text.decontaminate_ngram,
@@ -262,6 +274,39 @@ def main() -> None:
     control_post = cpu_control()
 
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "headline_queries_total_sec": total,
+                "sf": sf,
+                "cpus": cpus,
+                "repeats": REPEATS,
+                "extraction_docs_per_sec": round(docs_per_sec, 1),
+                "extraction_docs": n_docs,
+                "extraction_spans": n_spans,
+                "extra_queries": extra_timings,
+                "query_runs": runs,
+                "cpu_control_pre": control_pre,
+                "cpu_control_post": control_post,
+                "service_latency_ms": service_ms,
+                "note": (
+                    "min-of-repeats per query; cpu_control_* estimate host "
+                    "steal (this VM is oversubscribed: +steal means wall-"
+                    "clock above is inflated, not code regression); library "
+                    "defaults benched (bounded LSH, production PQ codebook, "
+                    "(16,8) neardup probes), oracle pins contract-only; r4: "
+                    "emb_neardup_pairs moved headline->extras (VERDICT r3 #5)"
+                ),
+            },
+            f,
+            indent=1,
+        )
+    # stdout stays COMPACT — the driver's tail-capture window truncated
+    # r3's detail-laden line; raw repeats & extras live in detail_path
     print(
         json.dumps(
             {
@@ -272,20 +317,11 @@ def main() -> None:
                 "sf": sf,
                 "extraction_docs_per_sec": round(docs_per_sec, 1),
                 "extraction_docs": n_docs,
-                "extraction_spans": n_spans,
                 "cpus": cpus,
                 "repeats": REPEATS,
-                "extra_queries": extra_timings,
-                "query_runs": runs,
-                "cpu_control_pre": control_pre,
-                "cpu_control_post": control_post,
-                "service_latency_ms": service_ms,
-                "note": (
-                    "min-of-repeats per query; cpu_control_* estimate host "
-                    "steal (this VM is oversubscribed: +steal means wall-"
-                    "clock above is inflated, not code regression); library "
-                    "defaults benched (bounded LSH), oracle pins contract-only"
-                ),
+                "steal_pct_pre": control_pre["steal_pct_vs_healthy"],
+                "steal_pct_post": control_post["steal_pct_vs_healthy"],
+                "detail": "BENCH/bench_detail.json",
             }
         )
     )

@@ -247,30 +247,47 @@ def eval_pq_ops(spark, sf_dir, ids, V, sample, release_caches) -> dict:
     pruning on top; its sweep shows the nprobe knob buying recall back
     with candidate volume, converging to the PQ ceiling."""
     from astrospark.ops import similarity as sim
-    from astrospark.ops.similarity import PQ_K, PQ_M, TOP_K
+    from astrospark.ops.similarity import PQ_K, PQ_M, PQ_ORACLE_K, PQ_ORACLE_M, TOP_K
 
     id_pos = {int(v): i for i, v in enumerate(ids)}
     n = len(ids)
     out: dict = {}
 
-    recalls, secs = [], []
-    for q in sample:
-        t0 = time.time()
-        got = [int(r["vec_id"]) for r in sim.ann_pq_topk(spark, sf_dir, query_vec_id=q).collect()]
-        secs.append(time.time() - t0)
-        want = exact_l2_topk(V, ids, id_pos[q], TOP_K)
-        recalls.append(len(set(got) & set(want)) / TOP_K)
-    out["ann_pq_topk"] = {
-        "k": TOP_K,
-        "n_queries": len(sample),
-        "metric": "L2",
-        "recall_mean": round(float(np.mean(recalls)), 4),
-        "recall_min": round(float(np.min(recalls)), 4),
-        "candidates_frac_of_corpus": 1.0,
-        "bytes_per_vector_vs_raw": f"{PQ_M} codes (<= {PQ_K} values) vs {V.shape[1]} floats",
-        "probe_sec_mean": round(float(np.mean(secs)), 3),
-    }
-    print("ann_pq_topk", out["ann_pq_topk"])
+    def adc_recall(m, k, label):
+        recalls, secs = [], []
+        for q in sample:
+            t0 = time.time()
+            got = [
+                int(r["vec_id"])
+                for r in sim.ann_pq_topk(
+                    spark, sf_dir, query_vec_id=q, m=m, k=k
+                ).collect()
+            ]
+            secs.append(time.time() - t0)
+            want = exact_l2_topk(V, ids, id_pos[q], TOP_K)
+            recalls.append(len(set(got) & set(want)) / TOP_K)
+        row = {
+            "k": TOP_K,
+            "n_queries": len(sample),
+            "metric": "L2",
+            "pq_m": m,
+            "pq_k": k,
+            "recall_mean": round(float(np.mean(recalls)), 4),
+            "recall_min": round(float(np.min(recalls)), 4),
+            "candidates_frac_of_corpus": 1.0,
+            "bytes_per_vector_vs_raw": f"{m} codes (<= {k} values) vs {V.shape[1]} floats",
+            "probe_sec_mean": round(float(np.mean(secs)), 3),
+        }
+        release_caches()  # codebooks/codes are per-(m,k); don't mix caches
+        print(label, row)
+        return row
+
+    # library default = production codebook (VERDICT r3 #3); the tiny
+    # oracle pin is measured alongside for the honest contrast
+    out["ann_pq_topk"] = adc_recall(PQ_M, PQ_K, "ann_pq_topk")
+    out["ann_pq_topk_oracle_pin"] = adc_recall(
+        PQ_ORACLE_M, PQ_ORACLE_K, "ann_pq_topk_oracle_pin"
+    )
 
     cells = sim.kmeans_cells(spark, sf_dir).collect()
     member_size: dict = {}
@@ -546,17 +563,29 @@ def write_recall_md(out: dict) -> None:
     pq = out.get("pq")
     if pq:
         p = pq["ann_pq_topk"]
+        pin = pq.get("ann_pq_topk_oracle_pin")
         lines += [
             "### Product quantization (L2 metric, exact float64 L2 ground truth)",
             "",
             f"**ann_pq_topk** (full-corpus ADC scan — recall loss is pure "
-            f"quantization error): recall@{p['k']} mean **{p['recall_mean']}** "
-            f"(min {p['recall_min']}) over {p['n_queries']} queries; index is "
-            f"{p['bytes_per_vector_vs_raw']} per vector. The shipped PQ is "
-            "deliberately tiny (16 bits/vector, ~128× compression) so the "
-            "DuckDB oracle can replay training via unrolled CTEs; production "
-            "would run PQ_M=8-64 × K=256 on the same plan shape.",
+            f"quantization error) at the LIBRARY DEFAULT production codebook "
+            f"(PQ_M={p['pq_m']} × K={p['pq_k']}): recall@{p['k']} mean "
+            f"**{p['recall_mean']}** (min {p['recall_min']}) over "
+            f"{p['n_queries']} queries; index is {p['bytes_per_vector_vs_raw']} "
+            "per vector.",
             "",
+        ]
+        if pin:
+            lines += [
+                f"The CONTRACT-ONLY oracle pin (PQ_M={pin['pq_m']} × "
+                f"K={pin['pq_k']} — the tiny codebook the DuckDB unrolled-CTE "
+                f"replay stays tractable at) measures recall@{pin['k']} mean "
+                f"{pin['recall_mean']}: it exists to value-check the plan "
+                "machinery, not to retrieve. Same defaults-vs-pin split as "
+                "max_bucket (VERDICT r3 #3).",
+                "",
+            ]
+        lines += [
             "| ann_ivfadc_topk nprobe | recall@10 (mean) | candidates/query | % of corpus |",
             "|---|---|---|---|",
         ]
@@ -571,7 +600,7 @@ def write_recall_md(out: dict) -> None:
             "the probed cells' code rows — the memory-and-scan-feasible layout "
             "for 10^12-vector search (production reranks the ADC top-R "
             "exactly). Note IVFADC can EXCEED the full-scan ADC row: cell "
-            "residency carries locality the 16-bit codes alone can't express, "
+            "residency carries locality the codes alone can't express, "
             "so restricting candidates to near cells filters out ADC's "
             "quantization-error impostors.",
             "",
@@ -609,7 +638,9 @@ def write_recall_md(out: dict) -> None:
         "The mass of the sub-0.6 ground-truth bins is borderline-random pairs "
         "(iid vectors whose cosine happens to clear the synthetic 0.35 "
         "threshold) — banding is not built to find those, and at a real "
-        "dedup threshold (≥ 0.9) the (16, 8) setting is the operative row.",
+        "dedup threshold (≥ 0.9) the (16, 8) setting is the operative row. "
+        "(16, 8) is the SHIPPED library default as of r4 (VERDICT r3 #4); "
+        "the single full-depth pass (16,) is the contract-only oracle pin.",
         "",
     ]
     with open(os.path.join(REPO, "BENCH", "RECALL.md"), "w") as fh:

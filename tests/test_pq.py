@@ -1,7 +1,12 @@
 """Product-quantization tests: a full scalar (pure-Python integer)
 replay of codebook training + encoding + ADC scoring pins the values
 independently of both engines; plan guards pin the broadcast/TakeOrdered
-shape that makes PQ the compressed scale path."""
+shape that makes PQ the compressed scale path.
+
+The scalar replays run at the ORACLE pin (PQ_ORACLE_M=4 × PQ_ORACLE_K=16
+— the parameterization the driver contract value-checks); the library
+DEFAULT (PQ_M=8 × PQ_K=256, the production codebook whose retrieval
+quality BENCH/RECALL.md measures) is shape-checked separately below."""
 
 import io
 import math
@@ -10,57 +15,51 @@ from contextlib import redirect_stdout
 SF = "/root/testdata/sf0.001"
 
 
-def _scalar_pq(vecs):
+def _scalar_pq(vecs, m, k):
     """Replay pq_codebooks/pq_codes/ann_pq_topk semantics in plain
     Python: floor-quantize, per-subspace Lloyd with integer squared-L2
     + code-asc tie-break, floor(avg) updates, ADC table scoring."""
-    from astrospark.ops.similarity import (
-        PQ_ITERS,
-        PQ_K,
-        PQ_M,
-        QUANT_SCALE,
-        TOP_K,
-    )
+    from astrospark.ops.similarity import PQ_ITERS, QUANT_SCALE, TOP_K
 
     dim = len(next(iter(vecs.values())))
-    sub = dim // PQ_M
+    sub = dim // m
     q = {
         vid: [math.floor(float(x) * QUANT_SCALE) for x in v]
         for vid, v in vecs.items()
     }
     sv = {
-        (vid, m): qv[m * sub : (m + 1) * sub]
+        (vid, mi): qv[mi * sub : (mi + 1) * sub]
         for vid, qv in q.items()
-        for m in range(PQ_M)
+        for mi in range(m)
     }
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    cb = {(m, c): sv[(c, m)] for c in range(1, PQ_K + 1) for m in range(PQ_M)}
+    cb = {(mi, c): sv[(c, mi)] for c in range(1, k + 1) for mi in range(m)}
     for _ in range(PQ_ITERS):
         members = {}
-        for (vid, m), s in sv.items():
+        for (vid, mi), s in sv.items():
             best = min(
-                (d2(s, cb[(m, c)]), c) for c in range(1, PQ_K + 1)
+                (d2(s, cb[(mi, c)]), c) for c in range(1, k + 1)
             )
-            members.setdefault((m, best[1]), []).append(s)
+            members.setdefault((mi, best[1]), []).append(s)
         for key, ms in members.items():
             n = len(ms)
             cb[key] = [
                 math.floor(sum(s[i] for s in ms) / n) for i in range(sub)
             ]
     codes = {
-        (vid, m): min((d2(s, cb[(m, c)]), c) for c in range(1, PQ_K + 1))[1]
-        for (vid, m), s in sv.items()
+        (vid, mi): min((d2(s, cb[(mi, c)]), c) for c in range(1, k + 1))[1]
+        for (vid, mi), s in sv.items()
     }
     table = {
-        (m, c): d2(sv[(0, m)], cb[(m, c)])
-        for m in range(PQ_M)
-        for c in range(1, PQ_K + 1)
+        (mi, c): d2(sv[(0, mi)], cb[(mi, c)])
+        for mi in range(m)
+        for c in range(1, k + 1)
     }
     adist = {
-        vid: sum(table[(m, codes[(vid, m)])] for m in range(PQ_M))
+        vid: sum(table[(mi, codes[(vid, mi)])] for mi in range(m))
         for vid in vecs
         if vid != 0
     }
@@ -74,25 +73,57 @@ def _load_vecs(spark):
 
 
 def test_pq_codes_scalar_replay(spark):
-    from astrospark.ops.similarity import PQ_K, PQ_M, pq_codes
+    from astrospark.ops.similarity import PQ_ORACLE_K, PQ_ORACLE_M, pq_codes
 
-    expected_codes, _ = _scalar_pq(_load_vecs(spark))
-    got = {(r.vec_id, r.m): r.code for r in pq_codes(spark, SF).collect()}
+    expected_codes, _ = _scalar_pq(_load_vecs(spark), PQ_ORACLE_M, PQ_ORACLE_K)
+    got = {
+        (r.vec_id, r.m): r.code
+        for r in pq_codes(spark, SF, m=PQ_ORACLE_M, k=PQ_ORACLE_K).collect()
+    }
     assert got == expected_codes
-    assert all(1 <= c <= PQ_K for c in got.values())
-    # exactly PQ_M codes per vector — the compressed representation
+    assert all(1 <= c <= PQ_ORACLE_K for c in got.values())
+    # exactly m codes per vector — the compressed representation
     per_vec = {}
     for vid, m in got:
         per_vec[vid] = per_vec.get(vid, 0) + 1
-    assert set(per_vec.values()) == {PQ_M}
+    assert set(per_vec.values()) == {PQ_ORACLE_M}
 
 
 def test_ann_pq_topk_scalar_replay(spark):
-    from astrospark.ops.similarity import ann_pq_topk
+    from astrospark.ops.similarity import PQ_ORACLE_K, PQ_ORACLE_M, ann_pq_topk
 
-    _, expected_topk = _scalar_pq(_load_vecs(spark))
-    got = [(r.vec_id, r.adist) for r in ann_pq_topk(spark, SF).collect()]
+    _, expected_topk = _scalar_pq(_load_vecs(spark), PQ_ORACLE_M, PQ_ORACLE_K)
+    got = [
+        (r.vec_id, r.adist)
+        for r in ann_pq_topk(spark, SF, m=PQ_ORACLE_M, k=PQ_ORACLE_K).collect()
+    ]
     assert got == expected_topk
+
+
+def test_pq_production_defaults_shape(spark):
+    """The library DEFAULT codebook is the production parameterization
+    (VERDICT r3 #3): 8 subspaces × 256 codewords. Shape-checked (the
+    full scalar replay at K=256 is the contract pin's job at 4×16);
+    retrieval quality at these knobs is measured by scripts/ann_recall.py
+    → BENCH/RECALL.md §PQ."""
+    from astrospark.ops.similarity import PQ_K, PQ_M, TOP_K, ann_pq_topk, pq_codes
+
+    assert (PQ_M, PQ_K) == (8, 256)
+    codes = pq_codes(spark, SF).collect()
+    per_vec = {}
+    for r in codes:
+        assert 1 <= r.code <= PQ_K
+        per_vec[r.vec_id] = per_vec.get(r.vec_id, 0) + 1
+    assert set(per_vec.values()) == {PQ_M}
+    # >1 distinct codeword actually used per subspace (training not
+    # degenerate), and the ADC ranking is full-length and sorted
+    by_m = {}
+    for r in codes:
+        by_m.setdefault(r.m, set()).add(r.code)
+    assert all(len(cs) > 8 for cs in by_m.values())
+    top = [(r.vec_id, r.adist) for r in ann_pq_topk(spark, SF).collect()]
+    assert len(top) == TOP_K
+    assert top == sorted(top, key=lambda t: (t[1], t[0]))
 
 
 def test_pq_plan_shape(spark):
@@ -113,12 +144,16 @@ def test_pq_plan_shape(spark):
 def test_ivfadc_is_adc_restricted_to_probed_cell(spark):
     """IVFADC == the scalar ADC ranking restricted to the query's
     coarse cell: candidates never leave the probed cell, and within it
-    the order is exactly the PQ approximate distance."""
-    from astrospark.ops.similarity import TOP_K, ann_ivfadc_topk, kmeans_cells
+    the order is exactly the PQ approximate distance (at the oracle
+    pin, so the expected ranking is the scalar replay's)."""
+    from astrospark.ops.similarity import (
+        PQ_ORACLE_K,
+        PQ_ORACLE_M,
+        TOP_K,
+        ann_ivfadc_topk,
+        kmeans_cells,
+    )
 
-    codes, _ = _scalar_pq(_load_vecs(spark))
-    # scalar ADC distances for every vector (recompute via _scalar_pq's
-    # internals is overkill — derive from the full top-k over the cell)
     cells = {
         r.vec_id: r.cell
         for r in kmeans_cells(spark, SF).filter("rnk = 1").collect()
@@ -127,13 +162,19 @@ def test_ivfadc_is_adc_restricted_to_probed_cell(spark):
 
     from astrospark.ops.similarity import ann_pq_topk
 
-    got = [(r.vec_id, r.adist) for r in ann_ivfadc_topk(spark, SF).collect()]
+    got = [
+        (r.vec_id, r.adist)
+        for r in ann_ivfadc_topk(spark, SF, m=PQ_ORACLE_M, k=PQ_ORACLE_K).collect()
+    ]
     assert len(got) <= TOP_K
     assert all(cells[vid] == q_cell for vid, _ in got)
     # ranking agrees with the unrestricted ADC scorer wherever both rank:
     # any cell-mate the full ADC top-k ranks must appear in IVFADC's list
     # no later than its full-ADC position
-    full = [(r.vec_id, r.adist) for r in ann_pq_topk(spark, SF).collect()]
+    full = [
+        (r.vec_id, r.adist)
+        for r in ann_pq_topk(spark, SF, m=PQ_ORACLE_M, k=PQ_ORACLE_K).collect()
+    ]
     full_cellmates = [(v, d) for v, d in full if cells[v] == q_cell]
     assert got[: len(full_cellmates)] == full_cellmates
     # distances ascend with vec_id tie-break

@@ -333,3 +333,70 @@ def test_semantic_dedup_bounded_cells_conservatively_keep(spark):
     assert as_set(sim.semantic_dedup(spark, SF_DIR)) == as_set(
         sim.semantic_dedup(spark, SF_DIR, max_cell=None)
     )
+
+
+def test_cc_labels_reliable_checkpoint_matches_local(spark, tmp_path):
+    """VERDICT r3 #6: with a checkpoint dir configured, cc_labels writes
+    per-round state via reliable DataFrame.checkpoint() — files on
+    shared storage that survive executor loss (localCheckpoint blocks do
+    not; that path restarts the job instead). Both lineage-truncation
+    modes must land the identical fixpoint, and the reliable run must
+    actually write round files into the dir."""
+    import os
+
+    from astrospark.ops.dedup import cc_labels
+
+    path = [(i, i + 1) for i in range(100, 130)]
+    tri = [(7, 9), (9, 11), (7, 11)]
+    pairs = spark.createDataFrame(path + tri, ["doc_a", "doc_b"])
+
+    local = {r.node: r.lbl for r in cc_labels(pairs, reliable=False).collect()}
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(ckdir)
+    try:
+        # reliable=None auto-selects the reliable path once a dir is set
+        rel = {r.node: r.lbl for r in cc_labels(pairs, reliable=None).collect()}
+        assert rel == local
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckdir)
+            for f in files
+            if f.startswith("part-")
+        ]
+        assert written, "reliable checkpoint wrote no round files"
+    finally:
+        # unset so later tests in this session fall back to local mode
+        setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        setter(sc._jvm.scala.Option.apply(None))
+
+
+def test_cc_labels_releases_superseded_round_blocks(spark):
+    """ADVICE r3: superseded rounds' localCheckpoint blocks are
+    unpersisted deterministically during iteration, and the final
+    round's blocks are freed by ops.caching.release_caches() — no
+    reliance on nondeterministic GC/ContextCleaner reclamation."""
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.dedup import cc_labels
+
+    def live_rdd_ids():
+        sc = spark.sparkContext
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    release_caches()
+    before = live_rdd_ids()
+    # diameter-31 path → multiple pointer-doubling rounds, each with its
+    # own localCheckpoint blocks
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 231)], ["doc_a", "doc_b"]
+    )
+    labels = cc_labels(pairs, reliable=False)
+    labels.count()
+    during = live_rdd_ids() - before
+    # superseded rounds already freed: at most the edges cache + the
+    # final round's blocks remain (not one entry per round)
+    assert len(during) <= 3, f"superseded round blocks leaked: {during}"
+    release_caches()
+    after = live_rdd_ids() - before
+    assert not after, f"release_caches left blocks live: {after}"
