@@ -195,13 +195,13 @@ NOTES = {
         "per-user row multiplication and no range partitioning."
     ),
     "ann_pq_topk": (
-        "PQ asymmetric-distance scoring: the 64-row query distance table "
+        "PQ asymmetric-distance scoring: the m*k-row query distance table "
         "BroadcastExchanges onto the code table; ranking is a TakeOrdered "
         "over one doc-keyed sum — raw database vectors are never read by "
-        "the scoring stage, only PQ_M small codes per vector."
+        "the scoring stage, only PQ_M small codes per vector (production default 8x256; the 4x16 oracle pin shares the plan shape)."
     ),
     "ann_ivfadc_topk": (
-        "IVFADC: the query's probed cells and the 64-row ADC distance "
+        "IVFADC: the query's probed cells and the m*k-row ADC distance "
         "table both BroadcastExchange onto the code table; candidates are "
         "cell-pruned BEFORE scoring, so the scan cost is the probed "
         "cells' code rows, not the corpus."

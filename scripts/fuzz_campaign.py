@@ -203,7 +203,10 @@ def campaign_d(vocab, trie, names) -> int:
     kernel-vs-oracle under it — both small adversarial docs and giant
     multi-thousand-token docs (long chains are where scorer-seam float
     drift would surface). The kernel must match the scalar oracle for
-    ANY artifact the plug produces, not just the shipped perceptron."""
+    ANY artifact the plug produces, not just the shipped perceptron.
+    Two training SEEDS are fuzzed (VERDICT r3 #8): artifact-swap
+    determinism — the kernel/oracle agreement must be a property of the
+    seam, not of one particular weight landscape."""
     import tempfile
 
     import pandas as pd
@@ -212,34 +215,37 @@ def campaign_d(vocab, trie, names) -> int:
     from astrospark.kernel import extract_batch
     from astrospark.train import main as train_eval
 
+    total_mism = 0
     with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "logistic.npz")
-        metrics = train_eval(200, 150, out=path, scorer="logistic")
-        model = CrfModel.load(path)
-        rng = random.Random(4242)
-        docs = [_rand_doc(rng, names, i) for i in range(6000)]
-        docs += [_big_doc(rng, names, 6000 + i) for i in range(40)]
-        mism = spans_total = 0
-        for b0 in range(0, len(docs), 3000):
-            chunk = docs[b0 : b0 + 3000]
-            out = extract_batch(pd.DataFrame(chunk), vocab, trie, model)
-            spans_total += len(out)
-            by_doc = {k: g for k, g in out.groupby("doc_id", sort=False)}
-            for d in chunk:
-                g = by_doc.get(d["doc_id"])
-                got = [] if g is None else [
-                    (int(a), b, c, m, int(e))
-                    for a, b, c, m, e in zip(
-                        g["seq"], g["kind"], g["text"], g["media_ref"], g["offset"]
-                    )
-                ]
-                if got != _want(d, vocab, trie, model):
-                    mism += 1
-        print(
-            f"D: {len(docs)} docs under logistic scorer "
-            f"(held-out f1 {metrics.get('f1')}), {spans_total} spans, {mism} mismatches"
-        )
-        return mism
+        for train_seed, doc_seed, n_docs in ((42, 4242, 6000), (1337, 2424, 3000)):
+            path = os.path.join(td, f"logistic_{train_seed}.npz")
+            metrics = train_eval(200, 150, out=path, scorer="logistic", seed=train_seed)
+            model = CrfModel.load(path)
+            rng = random.Random(doc_seed)
+            docs = [_rand_doc(rng, names, i) for i in range(n_docs)]
+            docs += [_big_doc(rng, names, n_docs + i) for i in range(40)]
+            mism = spans_total = 0
+            for b0 in range(0, len(docs), 3000):
+                chunk = docs[b0 : b0 + 3000]
+                out = extract_batch(pd.DataFrame(chunk), vocab, trie, model)
+                spans_total += len(out)
+                by_doc = {k: g for k, g in out.groupby("doc_id", sort=False)}
+                for d in chunk:
+                    g = by_doc.get(d["doc_id"])
+                    got = [] if g is None else [
+                        (int(a), b, c, m, int(e))
+                        for a, b, c, m, e in zip(
+                            g["seq"], g["kind"], g["text"], g["media_ref"], g["offset"]
+                        )
+                    ]
+                    if got != _want(d, vocab, trie, model):
+                        mism += 1
+            print(
+                f"D: {len(docs)} docs under logistic scorer seed={train_seed} "
+                f"(held-out f1 {metrics.get('f1')}), {spans_total} spans, {mism} mismatches"
+            )
+            total_mism += mism
+    return total_mism
 
 
 def main() -> int:

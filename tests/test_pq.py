@@ -5,7 +5,7 @@ shape that makes PQ the compressed scale path.
 
 The scalar replays run at the ORACLE pin (PQ_ORACLE_M=4 × PQ_ORACLE_K=16
 — the parameterization the driver contract value-checks); the library
-DEFAULT (PQ_M=8 × PQ_K=256, the production codebook whose retrieval
+DEFAULT (PQ_M=16 × PQ_K=256, the production codebook whose retrieval
 quality BENCH/RECALL.md measures) is shape-checked separately below."""
 
 import io
@@ -102,13 +102,13 @@ def test_ann_pq_topk_scalar_replay(spark):
 
 def test_pq_production_defaults_shape(spark):
     """The library DEFAULT codebook is the production parameterization
-    (VERDICT r3 #3): 8 subspaces × 256 codewords. Shape-checked (the
+    (VERDICT r3 #3): 16 subspaces × 256 codewords. Shape-checked (the
     full scalar replay at K=256 is the contract pin's job at 4×16);
     retrieval quality at these knobs is measured by scripts/ann_recall.py
     → BENCH/RECALL.md §PQ."""
     from astrospark.ops.similarity import PQ_K, PQ_M, TOP_K, ann_pq_topk, pq_codes
 
-    assert (PQ_M, PQ_K) == (8, 256)
+    assert (PQ_M, PQ_K) == (16, 256)
     codes = pq_codes(spark, SF).collect()
     per_vec = {}
     for r in codes:
