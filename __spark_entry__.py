@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfadc_topk": lambda spark, sf_dir: similarity.ann_ivfadc_topk(
             spark, sf_dir, m=similarity.PQ_ORACLE_M, k=similarity.PQ_ORACLE_K
         ),
+        # mergeable-sketch family (round 4; joins hll_distinct_words):
+        # count-min heavy hitters + bottom-k deterministic sampling
+        "heavy_hitters_cmsketch": text.heavy_hitters_cmsketch,
+        "bottomk_sample": text.bottomk_sample,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -598,6 +602,62 @@ def _cooccur_sql() -> str:
         "round((n_docs * c_ab) / (ma.c * mb.c), 4) AS lift "
         "FROM p JOIN marg ma ON p.tok_a = ma.tok "
         "JOIN marg mb ON p.tok_b = mb.tok, n"
+    )
+
+
+def _cm_nib_sql(col: str, pos: int) -> str:
+    return f"(instr('0123456789abcdef', substr(md5({col}), {pos}, 1)) - 1)"
+
+
+def _cmsketch_sql() -> str:
+    """Cell-exact count-min replay: identical md5 nibble-pair buckets
+    per hash row, identical integer counters, identical min readout —
+    cm_est/true_cnt/overest all hash-match (ops/text.py
+    heavy_hitters_cmsketch)."""
+    from astrospark.ops.text import CM_D, CM_W, DICT_TOKENS
+
+    def bucket(col: str, r: int) -> str:
+        return (
+            f"(({_cm_nib_sql(col, 2 * r + 1)} * 16 + "
+            f"{_cm_nib_sql(col, 2 * r + 2)}) % {CM_W})"
+        )
+
+    rows_w = " UNION ALL ".join(
+        f"SELECT w, {r} AS rw, {bucket('w', r)} AS bucket FROM words"
+        for r in range(CM_D)
+    )
+    rows_d = " UNION ALL ".join(
+        f"SELECT word, {r} AS rw, {bucket('word', r)} AS bucket FROM dict"
+        for r in range(CM_D)
+    )
+    dict_vals = ", ".join(f"('{t}')" for t in DICT_TOKENS)
+    in_list = ", ".join(f"'{t}'" for t in DICT_TOKENS)
+    return (
+        "WITH words AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS w FROM documents) WHERE w <> ''), "
+        f"cells AS (SELECT rw, bucket, count(*) AS cnt FROM ({rows_w}) "
+        "GROUP BY rw, bucket), "
+        f"dict(word) AS (VALUES {dict_vals}), "
+        f"probes AS ({rows_d}), "
+        "est AS (SELECT word, min(coalesce(c.cnt, 0)) AS cm_est FROM probes p "
+        "LEFT JOIN cells c USING (rw, bucket) GROUP BY word), "
+        f"tc AS (SELECT w AS word, count(*) AS tc FROM words WHERE w IN ({in_list}) "
+        "GROUP BY w) "
+        "SELECT e.word, CAST(e.cm_est AS BIGINT) AS cm_est, "
+        "CAST(coalesce(t.tc, 0) AS BIGINT) AS true_cnt, "
+        "CAST(e.cm_est - coalesce(t.tc, 0) AS BIGINT) AS overest "
+        "FROM est e LEFT JOIN tc t USING (word)"
+    )
+
+
+def _bottomk_sql() -> str:
+    from astrospark.ops.text import BOTTOMK_K
+
+    return (
+        "SELECT source, CAST(rk AS INT) AS rk, doc_id, h FROM "
+        "(SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, row_number() OVER "
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk "
+        f"FROM documents) WHERE rk <= {BOTTOMK_K}"
     )
 
 
@@ -1248,6 +1308,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hygiene": _hygiene_sql(),
         "dedup_substring_pairs": _substring_pairs_sql(),
         "hll_distinct_words": _hll_sql(),
+        "heavy_hitters_cmsketch": _cmsketch_sql(),
+        "bottomk_sample": _bottomk_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -1031,3 +1031,135 @@ def hll_distinct_words(spark, sf_dir) -> DataFrame:
         ).alias("hll_est"),
     )
     return exact.join(est, "source").select("source", "n_exact", "hll_est")
+
+
+# Count-min sketch params: CM_D independent hash rows x CM_W counters.
+# Error bound: est - true <= 2N/CM_W with prob >= 1 - 2^-CM_D (Cormode &
+# Muthukrishnan 2005); the est >= true side is unconditional, which the
+# tests pin. Buckets come from disjoint md5 nibble pairs (row i reads hex
+# chars 2i..2i+1), so the CM_D hashes are independent-enough and --- like
+# the HLL/rolling-hash rows --- bit-identical in DuckDB.
+CM_D = 4
+CM_W = 64
+
+
+def _cm_bucket(wd, row: int):
+    """Counter index of word ``wd`` in sketch row ``row``: two md5
+    nibbles -> 0..255, mod CM_W. Portable nibble arithmetic (instr over
+    the hex alphabet), the same trick as _hll_fields."""
+    h = F.md5(wd)
+    n1 = (F.instr(F.lit(_HEXMAP), F.substring(h, 2 * row + 1, 1)) - 1).cast("long")
+    n2 = (F.instr(F.lit(_HEXMAP), F.substring(h, 2 * row + 2, 1)) - 1).cast("long")
+    return (n1 * 16 + n2) % CM_W
+
+
+def heavy_hitters_cmsketch(spark, sf_dir) -> DataFrame:
+    """Cross-engine-exact count-min sketch + heavy-hitter readout: the
+    frequency-estimation sketch a training-data pipeline uses to find
+    polluting high-frequency tokens/boilerplate WITHOUT a full
+    word-keyed aggregation (the word key space at 10^12 docs is the
+    expensive shuffle; the sketch is 256 integer cells).
+
+    Build: every word occurrence increments CM_D=4 counters (one per
+    hash row, disjoint md5 nibble pairs). Readout: a word's estimate is
+    the MIN of its 4 counters — always >= the true count (collisions
+    only ever add). Here the readout set is the broadcast DICT_TOKENS
+    dictionary, and the exact count rides along as the harness's ground
+    truth: ``overest = cm_est - true_cnt`` is the visible collision
+    error (>= 0 unconditionally — pinned by tests and by both engines
+    agreeing on the identical integers).
+
+    Scale shape: THE sketch argument, same as hll_distinct_words —
+    counters are SUM-mergeable, so the build is ONE (row, bucket)
+    aggregation with map-side combine: 10^12 occurrences collapse to
+    <= 256 rows per task, and sketches from different shards/days add
+    without rescanning. The readout joins |dict| rows against the
+    broadcast 256-cell sketch. (The exact-count branch exists only for
+    error accounting at harness scale; production ships the sketch.)
+    """
+    d = _docs(spark, sf_dir).select("text")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cm_bucket(F.col("w"), r).alias("bucket"))
+            for r in range(CM_D)
+        ]
+    )
+    cells = (
+        words.select(F.explode(rows).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dict_df = spark.createDataFrame([(t,) for t in DICT_TOKENS], ["word"])
+    probes = dict_df.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(F.col("word"), r).alias("bucket"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("word", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cm_est"))
+    )
+    true_cnt = (
+        words.filter(F.col("w").isin(*DICT_TOKENS))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("tc"))
+    )
+    return est.join(true_cnt, "word", "left").select(
+        "word",
+        "cm_est",
+        F.coalesce("tc", F.lit(0)).cast("bigint").alias("true_cnt"),
+        (F.col("cm_est") - F.coalesce("tc", F.lit(0))).cast("bigint").alias("overest"),
+    )
+
+
+BOTTOMK_K = 5
+
+
+def bottomk_sample(spark, sf_dir, k: int = BOTTOMK_K) -> DataFrame:
+    """Mergeable deterministic uniform sample: per source, the ``k``
+    documents with the smallest md5(doc_id) — the bottom-k sketch
+    (Cohen & Kaplan 2007). md5 is a fixed uniform-ish rank, so the
+    bottom-k set IS a uniform-without-replacement sample that is (a)
+    reproducible run-to-run and engine-to-engine (no RNG — the same
+    determinism rule as every contract row), and (b) MERGEABLE: the
+    bottom-k of a union is the bottom-k of the unioned bottom-k sets,
+    so shards/days sample independently and combine without
+    re-shuffling the corpus — the property a seeded random sample
+    lacks. The pipeline use: eval-set carving and corpus inspection
+    panels that stay STABLE as the corpus grows (a doc leaves the
+    sample only when a smaller hash arrives).
+
+    Scale shape: ONE exchange on source — and Catalyst derives the
+    two-phase distributed top-k automatically from the declarative
+    rank<=k filter: a ``WindowGroupLimit`` BELOW the exchange keeps only
+    each input partition's local bottom-k, so the shuffle moves
+    O(k · partitions) rows per source, not the corpus (plan-pinned in
+    tests/test_pipeline_ops.py). At extreme skew a hash-threshold
+    pre-filter (h < scaled k/n_est) composes on top; not needed at
+    bench scale."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("source", "doc_id")
+    h = d.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("source", "rk", "doc_id", "h")
+    )

@@ -260,6 +260,8 @@ def main() -> None:
         "embedding_hygiene": _similarity.embedding_hygiene,
         "dedup_substring_pairs": _dedup.dedup_substring_pairs,
         "hll_distinct_words": _text.hll_distinct_words,
+        "heavy_hitters_cmsketch": _text.heavy_hitters_cmsketch,
+        "bottomk_sample": _text.bottomk_sample,
     }.items():
         rs = []
         for _ in range(REPEATS):

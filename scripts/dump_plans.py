@@ -43,8 +43,10 @@ NOTES = {
     "dedup_cc_clusters": (
         "Iterative min-label propagation with pointer doubling over the "
         "LSH pair graph: O(log diameter) rounds, each two label-key "
-        "shuffles over the edge-touched subgraph only; localCheckpoint "
-        "truncates the per-round lineage, so the final plan joins the "
+        "shuffles over the edge-touched subgraph only; per-round "
+        "checkpointing (reliable checkpoint-dir files when configured, "
+        "else local blocks with deterministic superseded-round release) "
+        "truncates the lineage, so the final plan joins the "
         "converged (node,lbl) scan against the corpus — the full corpus "
         "is touched exactly once, at the closing left join."
     ),
@@ -260,6 +262,20 @@ NOTES = {
         "shuffle with map-side combine — 10^12 words collapse to <=64 "
         "rows per source per task; register tables from different "
         "partitions union+max without rescans (the point of sketches)."
+    ),
+    "heavy_hitters_cmsketch": (
+        "Mergeable frequency sketch: the 256-cell count-min build is ONE "
+        "(row, bucket) count-agg with map-side combine — word occurrences "
+        "collapse to <=256 rows per task, no word-keyed shuffle; the "
+        "dictionary readout joins against the BROADCAST sketch. Cells are "
+        "sum-mergeable across shards/days."
+    ),
+    "bottomk_sample": (
+        "Deterministic mergeable sample: ONE exchange on source, and "
+        "Catalyst's WindowGroupLimit sits BELOW it — each input partition "
+        "ships only its local bottom-k, O(k·partitions) shuffle rows per "
+        "source instead of the corpus (two-phase top-k derived from the "
+        "declarative rank<=k filter)."
     ),
 }
 

@@ -658,3 +658,132 @@ def test_hll_raw_branch_cross_engine(spark, tmp_path):
         for r in con.sql(E.oracle_sql()["hll_distinct_words"]).fetchall()
     }
     assert duck == got
+
+
+def _cm_replay(texts, dict_tokens):
+    """Scalar count-min replay: hashlib md5 nibble pairs, integer
+    counters, min readout — independent of both engines."""
+    import hashlib
+    from collections import Counter
+
+    from astrospark.ops.text import CM_D, CM_W
+
+    def bucket(w, r):
+        h = hashlib.md5(w.encode()).hexdigest()
+        return (int(h[2 * r], 16) * 16 + int(h[2 * r + 1], 16)) % CM_W
+
+    cells = Counter()
+    true = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w == "":
+                continue
+            true[w] += 1
+            for r in range(CM_D):
+                cells[(r, bucket(w, r))] += 1
+    return {
+        w: (
+            min(cells.get((r, bucket(w, r)), 0) for r in range(CM_D)),
+            true.get(w, 0),
+        )
+        for w in dict_tokens
+    }
+
+
+def test_cmsketch_scalar_replay_and_overestimate_property(spark):
+    from astrospark.ops.text import DICT_TOKENS, heavy_hitters_cmsketch
+
+    texts = [r.text for r in spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    want = _cm_replay(texts, DICT_TOKENS)
+    got = {
+        r.word: (r.cm_est, r.true_cnt, r.overest)
+        for r in heavy_hitters_cmsketch(spark, SF).collect()
+    }
+    assert set(got) == set(DICT_TOKENS)
+    for w, (est, tc, over) in got.items():
+        assert (est, tc) == want[w], w
+        # the count-min guarantee: collisions only ever ADD
+        assert over == est - tc >= 0
+    # non-degenerate on the driver corpus: some dict token actually occurs
+    assert any(tc > 0 for _, tc, _ in got.values())
+
+
+def test_cmsketch_is_sum_mergeable(spark):
+    """Sketch(corpus A ∪ B) == Sketch(A) + Sketch(B) cell-for-cell — the
+    property that lets shards/days build independently (replayed in
+    scalar form; the Spark build is the same integer sum)."""
+    from astrospark.ops.text import DICT_TOKENS
+
+    texts = [r.text for r in spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    whole = _cm_replay(texts, DICT_TOKENS)
+    half_a = _cm_replay(texts[::2], DICT_TOKENS)
+    half_b = _cm_replay(texts[1::2], DICT_TOKENS)
+    for w in DICT_TOKENS:
+        # true counts add exactly; the merged min is NOT the sum of mins
+        # in general (min over summed cells >= sum of per-shard mins),
+        # so merge at the CELL level: replay over the union equals the
+        # cell-wise sum by construction of _cm_replay — assert the
+        # true-count decomposition and the unconditional bound instead
+        assert whole[w][1] == half_a[w][1] + half_b[w][1]
+        assert whole[w][0] >= whole[w][1]
+
+
+def test_bottomk_sample_replay_and_mergeability(spark):
+    """Spark == hashlib replay per source; and bottom-k of a union ==
+    bottom-k of the unioned per-shard bottom-k sets (the Cohen-Kaplan
+    mergeability that makes the sample shard-stable)."""
+    import hashlib
+
+    from astrospark.ops.text import BOTTOMK_K, bottomk_sample
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id"
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_src.setdefault(r.source, []).append((h, r.doc_id))
+    want = {}
+    for s, hs in by_src.items():
+        for rk, (h, d) in enumerate(sorted(hs)[:BOTTOMK_K], start=1):
+            want[(s, rk)] = (d, h)
+    got = {
+        (r.source, r.rk): (r.doc_id, r.h)
+        for r in bottomk_sample(spark, SF).collect()
+    }
+    assert got == want
+    # mergeability: split each source's docs into two shards, take
+    # bottom-k per shard, union, re-take bottom-k == whole-corpus sample
+    for s, hs in by_src.items():
+        shard_a = sorted(hs[::2])[:BOTTOMK_K]
+        shard_b = sorted(hs[1::2])[:BOTTOMK_K]
+        merged = sorted(shard_a + shard_b)[:BOTTOMK_K]
+        assert merged == sorted(hs)[:BOTTOMK_K], s
+
+
+def test_sketch_plans_one_exchange(spark):
+    """heavy_hitters_cmsketch: the 256-cell build is one map-side-
+    combinable aggregation and the readout joins against a broadcast —
+    no word-keyed join, no cross product. bottomk_sample: exactly one
+    hash exchange (source) feeding the rank window."""
+    from astrospark.ops.text import bottomk_sample, heavy_hitters_cmsketch
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        heavy_hitters_cmsketch(spark, SF).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bottomk_sample(spark, SF).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
+    # Catalyst's rank-limit pushdown: a WindowGroupLimit BELOW the
+    # exchange keeps only each partition's local bottom-k before the
+    # shuffle — the two-phase distributed top-k, derived automatically
+    # from the declarative rank<=k filter
+    pre_exchange = plan.split("Exchange", 1)[0]
+    assert "WindowGroupLimit" in pre_exchange
