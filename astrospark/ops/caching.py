@@ -57,6 +57,42 @@ def register_release(fn: Callable[[], None]) -> None:
     _RELEASE_HOOKS.append(fn)
 
 
+class cache_scope:
+    """Scope-local cache ownership (ADVICE r3): releases ONLY what was
+    registered inside the ``with`` block, leaving an outer builder's
+    live caches alone::
+
+        with cache_scope():
+            dedup.dedup_minhash_lsh(spark, sf).count()
+        # signature cache released; caches registered before the block
+        # are untouched
+
+    Residual caveat (inherent to plan-equality dedup): if the inner
+    scope re-built a plan the OUTER scope had already cached,
+    ``scoped_persist`` reused the one cache entry — the inner release
+    then drops it for both. Same-plan reuse across live scopes remains
+    a sequential-use contract; distinct plans are fully isolated."""
+
+    def __enter__(self):
+        self._df_mark = len(_TRACKED)
+        self._hook_mark = len(_RELEASE_HOOKS)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for df in _TRACKED[self._df_mark :]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        del _TRACKED[self._df_mark :]
+        for fn in _RELEASE_HOOKS[self._hook_mark :]:
+            try:
+                fn()
+            except Exception:
+                pass
+        del _RELEASE_HOOKS[self._hook_mark :]
+
+
 def _plan_already_cached(df: DataFrame) -> bool:
     """True iff an equivalent logical plan is already in this session's
     CacheManager (JVM plan-equality lookup; conservative False on any

@@ -72,3 +72,25 @@ def test_release_without_persist_is_noop(spark):
 
     release_caches()
     assert release_caches() == 0
+
+
+def test_cache_scope_releases_only_inner(spark):
+    """ADVICE r3 scoping: an inner cache_scope() releases its own
+    registrations and leaves the outer builder's live cache cached."""
+    from astrospark.ops import dedup, similarity
+    from astrospark.ops.caching import cache_scope, release_caches
+
+    release_caches()
+    base = _n_cached_rdds(spark)
+
+    similarity.ann_rp_topk(spark, SF_DIR).count()  # outer: RP signature
+    assert _n_cached_rdds(spark) == base + 1
+
+    with cache_scope():
+        dedup.dedup_minhash_lsh(spark, SF_DIR).count()  # inner: minhash sig
+        assert _n_cached_rdds(spark) == base + 2
+    # inner released, outer survives
+    assert _n_cached_rdds(spark) == base + 1
+
+    release_caches()
+    assert _n_cached_rdds(spark) == base

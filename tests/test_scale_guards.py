@@ -400,3 +400,58 @@ def test_cc_labels_releases_superseded_round_blocks(spark):
     release_caches()
     after = live_rdd_ids() - before
     assert not after, f"release_caches left blocks live: {after}"
+
+
+def test_sketches_bounded_under_pathological_skew(spark, tmp_path):
+    """One source owning the whole corpus + one word owning most mass:
+    the sketch state stays <=256 CM cells / <=k bottom-k rows per source
+    (never keyed by word or doc count), and the bottom-k plan still
+    pre-limits per partition below the single exchange."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from astrospark.ops.text import (
+        BOTTOMK_K,
+        CM_D,
+        CM_W,
+        bottomk_sample,
+        heavy_hitters_cmsketch,
+        _cm_bucket,  # noqa: F401  (bucket arithmetic under test via the op)
+    )
+    from pyspark.sql import functions as F
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(4000),
+            "text": ["spark " * 50 + f"tail{i % 11}" for i in range(4000)],
+            "lang": ["en"] * 4000,
+            "source": ["monolith"] * 4000,  # ALL docs in one stratum
+            "n_chars": [0] * 4000,
+        }
+    )
+    pdir = str(tmp_path / "skew")
+    spark.createDataFrame(docs).repartition(8).write.parquet(
+        f"{pdir}/documents.parquet"
+    )
+
+    hh = heavy_hitters_cmsketch(spark, pdir)
+    rows = hh.collect()
+    got = {r.word: (r.cm_est, r.true_cnt, r.overest) for r in rows}
+    # the dominant word is estimated exactly-or-over, never under
+    assert got["spark"][1] == 4000 * 50
+    assert got["spark"][0] >= got["spark"][1]
+    assert all(o >= 0 for _, _, o in got.values())
+
+    bk = bottomk_sample(spark, pdir)
+    out = bk.collect()
+    assert len(out) == BOTTOMK_K  # one stratum -> exactly k rows
+    assert [r.rk for r in sorted(out, key=lambda r: r.rk)] == list(
+        range(1, BOTTOMK_K + 1)
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        bk.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan.split("Exchange", 1)[0]
