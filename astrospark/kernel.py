@@ -233,9 +233,12 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
     cf_units = (
         elig_unit[cluster_first] if len(cluster_first) else np.empty(0, dtype=np.int64)
     )
-    for ui in sorted(has_obj_unit):
-        lo = int(np.searchsorted(cf_units, ui, side="left"))
-        hi = int(np.searchsorted(cf_units, ui, side="right"))
+    obj_units = np.fromiter(
+        sorted(has_obj_unit), dtype=np.int64, count=len(has_obj_unit)
+    )
+    unit_lo = np.searchsorted(cf_units, obj_units, side="left")
+    unit_hi = np.searchsorted(cf_units, obj_units, side="right")
+    for ui, lo, hi in zip(obj_units.tolist(), unit_lo.tolist(), unit_hi.tolist()):
         first_list = cluster_first[lo:hi]
         if not len(first_list):
             continue
