@@ -89,3 +89,62 @@ def stream_hll_registers(docs_stream: DataFrame) -> DataFrame:
         .alias("rho"),
     )
     return fields.groupBy("source", "bucket").agg(F.max("rho").alias("m_rho"))
+
+
+EVENTS_SCHEMA_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_from_dir(spark, input_dir: str, max_files: int = 32) -> DataFrame:
+    """File-source stream of events-table parquet (the driver testdata
+    shape: event_id/ts/user_id/event_type/value/props)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def windowed_hll_users(
+    events_stream: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked per-window distinct-user HLL registers: the
+    time-series cardinality rollup (daily active users per event type)
+    every analytics pipeline maintains — composed from the SAME
+    md5-nibble register arithmetic as the batch sketch, so a drained
+    stream's registers equal `groupBy(window(ts), event_type)` batch
+    registers exactly.
+
+    State story: (windows in flight) × 64 registers per event type —
+    the watermark EVICTS finalized windows (append mode emits them
+    once), so state is bounded by the watermark horizon, not stream
+    length; within a window the register max-merge keeps per-key state
+    O(64) regardless of event volume. This is the composition rule
+    stated in the module docstring, made concrete: window on the group
+    key, sketch as the aggregate. Works identically over batch frames
+    (no watermark) for backfill.
+    """
+    bucket, v = _hll_fields(F.col("user_id").cast("string"))
+    fields = events_stream.select("ts", "event_type", bucket, v).select(
+        "ts",
+        "event_type",
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(61))
+        .otherwise(F.lit(61) - (F.length(F.expr("bin(v)"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    if fields.isStreaming:
+        fields = fields.withWatermark("ts", watermark)
+    return (
+        fields.groupBy(F.window("ts", window).alias("w"), "event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "bucket",
+            "m_rho",
+        )
+    )

@@ -115,3 +115,75 @@ def test_stream_hll_registers_equal_batch(spark, tmp_path):
     }
     assert got == batch
     assert all(rho >= 1 for rho in got.values())
+
+
+def test_windowed_hll_users_stream_equals_batch(spark, tmp_path):
+    """Watermark × sketch composition: the streamed per-(day, event_type)
+    HLL registers equal the batch windowed build register-for-register
+    (complete-mode drain), and the production append+watermark drain
+    emits a finalized-window subset of exactly those rows."""
+    import pandas as pd
+
+    from astrospark.streaming.sketches import (
+        stream_events_from_dir,
+        windowed_hll_users,
+    )
+
+    # 6 days of events, 3 files -> multiple micro-batches
+    rows = []
+    for i in range(900):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=9 * i),
+                "user_id": i % 97,
+                "event_type": ["click", "view", "error"][i % 3],
+                "value": float(i % 10),
+                "props": "{}",
+            }
+        )
+    # land files in event-time order (the realistic ingestion: a feed
+    # appends files as days close) — sequential writes give increasing
+    # mtimes, so maxFilesPerTrigger=1 replays them in time order and
+    # lateness stays within the 2-day watermark
+    in_dir = str(tmp_path / "events")
+    df = pd.DataFrame(rows)
+    for j in range(3):
+        chunk = df.iloc[j * 300 : (j + 1) * 300]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(in_dir)
+
+    batch = {
+        (r.window_start, r.event_type, r.bucket): r.m_rho
+        for r in windowed_hll_users(spark.read.parquet(in_dir)).collect()
+    }
+    assert len({k[0] for k in batch}) >= 6  # all days present
+
+    stream = stream_events_from_dir(spark, in_dir, max_files=1)
+    _drain(
+        windowed_hll_users(stream), "whll_complete", str(tmp_path / "ck_whc")
+    )
+    got = {
+        (r.window_start, r.event_type, r.bucket): r.m_rho
+        for r in spark.table("whll_complete").collect()
+    }
+    assert got == batch
+
+    # production semantics: append mode + watermark -> finalized windows
+    # emitted once, state evicted; everything emitted matches the batch
+    stream2 = stream_events_from_dir(spark, in_dir, max_files=1)
+    q = (
+        windowed_hll_users(stream2)
+        .writeStream.format("memory")
+        .queryName("whll_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_wha"))
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {
+        (r.window_start, r.event_type, r.bucket): r.m_rho
+        for r in spark.table("whll_append").collect()
+    }
+    assert emitted  # watermark passed at least the early windows
+    assert all(batch[k] == v for k, v in emitted.items())
