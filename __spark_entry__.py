@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min heavy hitters + bottom-k deterministic sampling
         "heavy_hitters_cmsketch": text.heavy_hitters_cmsketch,
         "bottomk_sample": text.bottomk_sample,
+        "ntile_histogram": text.ntile_histogram,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -647,6 +648,21 @@ def _cmsketch_sql() -> str:
         "CAST(coalesce(t.tc, 0) AS BIGINT) AS true_cnt, "
         "CAST(e.cm_est - coalesce(t.tc, 0) AS BIGINT) AS overest "
         "FROM est e LEFT JOIN tc t USING (word)"
+    )
+
+
+def _ntile_sql() -> str:
+    """Equi-depth histogram replay: Spark and DuckDB share the ANSI
+    ntile bucket-size rule, so with the deterministic total order
+    (n_chars asc, doc_id asc) every (count, lo, hi) cell is exact."""
+    from astrospark.ops.text import NTILE_BUCKETS
+
+    return (
+        "SELECT source, CAST(q AS INT) AS q, CAST(count(*) AS BIGINT) AS n_docs_q, "
+        "CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi "
+        f"FROM (SELECT source, n_chars, ntile({NTILE_BUCKETS}) OVER "
+        "(PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS q "
+        "FROM documents) GROUP BY source, q"
     )
 
 
@@ -1310,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_words": _hll_sql(),
         "heavy_hitters_cmsketch": _cmsketch_sql(),
         "bottomk_sample": _bottomk_sql(),
+        "ntile_histogram": _ntile_sql(),
         "dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "dedup_exact": (

@@ -1163,3 +1163,39 @@ def bottomk_sample(spark, sf_dir, k: int = BOTTOMK_K) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("source", "rk", "doc_id", "h")
     )
+
+
+NTILE_BUCKETS = 4
+
+
+def ntile_histogram(spark, sf_dir, buckets: int = NTILE_BUCKETS) -> DataFrame:
+    """Equi-depth histogram of document length per source — the
+    optimizer/stats primitive behind skew detection and range-partition
+    planning (equi-depth boundaries are what an engine range-partitions
+    a 100 TB sort or join on so every task gets equal ROWS, not equal
+    key ranges). Deterministic cross-engine: the ntile assignment runs
+    over the total order (n_chars asc, doc_id asc) and Spark and DuckDB
+    share the ANSI bucket-size rule (first n mod k buckets take the
+    extra row), so bucket membership — hence every (count, lo, hi)
+    cell — is value-exact.
+
+    Scale shape: ONE exchange on source; the per-source sort is the
+    spillable window sort (same shuffle as bottomk_sample, but no group
+    limit — every row is assigned). At extreme scale an engine samples
+    instead; the exact version IS the ground truth that a sampled
+    histogram approximates, and the per-source parallelism is the
+    partition layout."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("q", F.ntile(buckets).over(w))
+        .groupBy("source", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_q"),
+            F.min("n_chars").cast("bigint").alias("lo"),
+            F.max("n_chars").cast("bigint").alias("hi"),
+        )
+        .select("source", F.col("q").cast("int").alias("q"), "n_docs_q", "lo", "hi")
+    )

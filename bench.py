@@ -262,6 +262,7 @@ def main() -> None:
         "hll_distinct_words": _text.hll_distinct_words,
         "heavy_hitters_cmsketch": _text.heavy_hitters_cmsketch,
         "bottomk_sample": _text.bottomk_sample,
+        "ntile_histogram": _text.ntile_histogram,
     }.items():
         rs = []
         for _ in range(REPEATS):

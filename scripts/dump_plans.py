@@ -277,6 +277,12 @@ NOTES = {
         "source instead of the corpus (two-phase top-k derived from the "
         "declarative rank<=k filter)."
     ),
+    "ntile_histogram": (
+        "Equi-depth histogram (range-partition planning stats): ONE "
+        "exchange on source feeding the spillable window sort; cells "
+        "aggregate map-side after assignment. Exact ANSI ntile rule, "
+        "identical in DuckDB over the deterministic total order."
+    ),
 }
 
 

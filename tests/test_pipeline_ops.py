@@ -787,3 +787,40 @@ def test_sketch_plans_one_exchange(spark):
     # from the declarative rank<=k filter
     pre_exchange = plan.split("Exchange", 1)[0]
     assert "WindowGroupLimit" in pre_exchange
+
+
+def test_ntile_histogram_scalar_replay(spark):
+    """Equi-depth cells == pure-Python replay of the ANSI ntile rule
+    (first n mod k buckets take the extra row) over the deterministic
+    (n_chars, doc_id) total order — the skew-stats primitive is exact,
+    not approximate."""
+    from astrospark.ops.text import NTILE_BUCKETS, ntile_histogram
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    want = {}
+    for s, vals in by_src.items():
+        vals.sort()
+        n, k = len(vals), NTILE_BUCKETS
+        base, extra = divmod(n, k)
+        pos = 0
+        for q in range(1, k + 1):
+            sz = base + (1 if q <= extra else 0)
+            if sz == 0:
+                continue
+            chunk = vals[pos : pos + sz]
+            want[(s, q)] = (sz, chunk[0][0], chunk[-1][0])
+            pos += sz
+    got = {
+        (r.source, r.q): (r.n_docs_q, r.lo, r.hi)
+        for r in ntile_histogram(spark, SF).collect()
+    }
+    assert got == want
+    # equi-depth property: within a source, bucket sizes differ by <= 1
+    for s, vals in by_src.items():
+        sizes = [got[(s, q)][0] for q in range(1, NTILE_BUCKETS + 1) if (s, q) in got]
+        assert max(sizes) - min(sizes) <= 1
