@@ -150,6 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cmsketch": text.heavy_hitters_cmsketch,
         "bottomk_sample": text.bottomk_sample,
         "ntile_histogram": text.ntile_histogram,
+        # incremental batch-vs-index near-dup screening (round 4 cont.);
+        # max_bucket=None pins exhaustive semantics for the oracle, the
+        # library default bounds index-side buckets like dedup_minhash_lsh
+        "dedup_incremental": lambda spark, sf_dir: dedup.dedup_incremental(
+            spark, sf_dir, max_bucket=None
+        ),
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -172,9 +178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": lambda spark, sf_dir: curation.corpus_curation(
             spark, sf_dir, max_bucket=None
         ),
-        # training-data pipeline: dedup
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         # max_bucket=None pins exhaustive pair semantics for the oracle;
         # the library DEFAULT is bounded (max_bucket=1000, VERDICT r1 §3)
         "dedup_minhash_lsh": lambda spark, sf_dir: dedup.dedup_minhash_lsh(
@@ -201,6 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # long-green r1-era rows (driver-green in r1+r2+r3), demoted past
         # the driver's 50-row window in exchange for the ANN family above
+        # (dedup_exact / dedup_ngram_jaccard demoted for the round-4
+        # continuation rows — both driver-green r1+r2+r3)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "p1_whitespace_normalize": text.p1_whitespace_normalize,
         "p2_blank_filter": text.p2_blank_filter,
         "t1_ws_token_stats": text.t1_ws_token_stats,
@@ -320,6 +327,82 @@ def _minhash_sql() -> str:
         "pairs AS (SELECT DISTINCT doc_a, doc_b FROM (" + band_union + ")) "
         "SELECT p.doc_a, p.doc_b, round((" + est + f") / {MINHASH_SEEDS}.0, 4) AS est_jaccard "
         "FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b"
+    )
+
+
+def _incremental_sql() -> str:
+    """Batch-vs-index minhash screening: both sides' signatures replayed
+    from the deterministic corpus split; band collisions new x index
+    only; best match by (n_match DESC, idx_id ASC) row_number — an
+    integer total order, so both engines pick the identical winner."""
+    from astrospark.ops.dedup import (
+        BAND_SIZE,
+        INCR_DUP_MIN_MATCH,
+        INCR_NEW_MOD,
+        INCR_NEW_REM,
+        INCR_RECRAWL_MOD,
+        INCR_RECRAWL_OFFSET,
+        INCR_RECRAWL_SUFFIX,
+        MINHASH_SEEDS,
+    )
+
+    n_bands = MINHASH_SEEDS // BAND_SIZE
+    mh = ", ".join(
+        f"min(substr(md5('{s // 4}#' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh_{s}"
+        for s in range(MINHASH_SEEDS)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
+        + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+
+    def side(name: str, src: str) -> str:
+        return (
+            f"{name}_w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}), "
+            f"{name}_sh AS (SELECT DISTINCT doc_id, "
+            f"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM "
+            f"(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i "
+            f"FROM {name}_w)), "
+            f"{name}_sig AS (SELECT doc_id, {mh} FROM {name}_sh GROUP BY doc_id), "
+            f"{name}_bands AS (SELECT doc_id, {band_cols} FROM {name}_sig)"
+        )
+
+    band_union = " UNION ALL ".join(
+        f"SELECT n.doc_id AS new_id, i.doc_id AS idx_id FROM nb_bands n "
+        f"JOIN ix_bands i ON n.band_{b} = i.band_{b}"
+        for b in range(n_bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(MINHASH_SEEDS)
+    )
+    return (
+        "WITH idxsrc AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {INCR_NEW_MOD} <> {INCR_NEW_REM}), "
+        "newsrc AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {INCR_NEW_MOD} = {INCR_NEW_REM} "
+        f"UNION ALL SELECT doc_id + {INCR_RECRAWL_OFFSET}, "
+        f"text || '{INCR_RECRAWL_SUFFIX}' FROM idxsrc "
+        f"WHERE doc_id % {INCR_RECRAWL_MOD} = 0), "
+        + side("ix", "idxsrc")
+        + ", "
+        + side("nb", "newsrc")
+        + ", cand AS (SELECT DISTINCT new_id, idx_id FROM ("
+        + band_union
+        + ")), scored AS (SELECT c.new_id, c.idx_id, ("
+        + est
+        + ") AS n_match FROM cand c "
+        "JOIN nb_sig sa ON sa.doc_id = c.new_id "
+        "JOIN ix_sig sb ON sb.doc_id = c.idx_id), "
+        "best AS (SELECT new_id, idx_id, n_match, row_number() OVER "
+        "(PARTITION BY new_id ORDER BY n_match DESC, idx_id ASC) AS rn "
+        "FROM scored) "
+        "SELECT n.doc_id, coalesce(b.idx_id, -1) AS matched_doc_id, "
+        "CAST(coalesce(b.n_match, 0) AS INT) AS n_match, "
+        f"CAST(coalesce(b.n_match, 0) >= {INCR_DUP_MIN_MATCH} AS INT) AS is_dup "
+        "FROM newsrc n LEFT JOIN best b ON b.new_id = n.doc_id AND b.rn = 1"
     )
 
 
@@ -1335,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_incremental": _incremental_sql(),
         "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (

@@ -654,3 +654,113 @@ def dedup_substring_pairs(spark, sf_dir, n: int = SUBSTR_N, max_df: int = MAX_DF
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("int").alias("n_shared"))
     )
+
+
+# --- incremental (batch-vs-index) near-dup screening -----------------------
+
+INCR_NEW_MOD = 10          # doc_id % 10 == 3  ->  the "new crawl" batch
+INCR_NEW_REM = 3
+INCR_RECRAWL_MOD = 25      # index docs re-crawled with a mutated tail
+INCR_RECRAWL_OFFSET = 1_000_000
+INCR_RECRAWL_SUFFIX = " revisited crawl copy"
+INCR_DUP_MIN_MATCH = 8     # >= 8/16 matching minhashes ~ est jaccard 0.5
+
+
+def dedup_incremental(
+    spark, sf_dir, max_bucket: int | None = MAX_BUCKET_DEFAULT
+) -> DataFrame:
+    """Incremental near-dup screening: a NEW ingest batch checked against
+    the already-deduplicated corpus index, without ever re-pairing the
+    index against itself.
+
+    This is the shape every continuously-crawled training corpus needs:
+    ``dedup_minhash_lsh`` is the one-time backfill; day-2 onward the
+    corpus is clean and the only question is "which of today's documents
+    duplicate something we already keep?". Re-running the full pairwise
+    pass is O(corpus) per day; this operator is O(batch):
+
+    1. The index side's minhash signatures / band keys are a STORED
+       artifact in production (computed once at ingest, bucketed by
+       ``(band_id, bk)``) — here they are derived in-plan from the
+       deterministic corpus split so the DuckDB oracle can replay them.
+    2. Candidate generation is ONE equi-join of the batch's band keys
+       against the index's — batch x index collisions only, never
+       index x index (the index is already deduped) and never
+       batch x batch (intra-batch dups are the next backfill's job).
+       At scale the stored index table is bucketed on the join key, so
+       the join co-locates and ONLY the new batch shuffles.
+    3. ``max_bucket`` bounds the INDEX side's posting buckets exactly
+       like ``dedup_minhash_lsh`` bounds its own — a boilerplate bucket
+       with 10^6 index members would otherwise fan every colliding new
+       doc out a million ways. ``None`` = exhaustive (the oracle pin).
+    4. Verdict per new document (exactly one output row each): the best
+       index match by matching-minhash count (ties -> smallest index
+       doc_id; integer total order, so both engines pick the same row),
+       ``is_dup`` iff n_match >= INCR_DUP_MIN_MATCH. Novel docs carry
+       the -1/-0 sentinels (the asof_attribution convention).
+
+    The synthetic corpus has no cross-split near-dups, so the batch
+    unions in a deterministic "re-crawl" slice — index docs with
+    ``doc_id % 25 == 0`` re-ingested under ``doc_id + 10^6`` with a
+    suffix appended (both engines build the identical string; the
+    pii_redact / embedding_hygiene injection pattern) — guaranteeing
+    both verdicts occur at every SF.
+    """
+    d = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_REM
+    idx = d.filter(~is_new).select("doc_id", "text")
+    batch = d.filter(is_new).select("doc_id", "text").unionAll(
+        idx.filter((F.col("doc_id") % INCR_RECRAWL_MOD) == 0).select(
+            (F.col("doc_id") + INCR_RECRAWL_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(INCR_RECRAWL_SUFFIX)).alias("text"),
+        )
+    )
+    sig_idx = scoped_persist(minhash_signature(idx))
+    sig_new = scoped_persist(minhash_signature(batch))
+    bands_idx = _minhash_bands(sig_idx).withColumnRenamed("doc_id", "idx_id")
+    bands_new = _minhash_bands(sig_new)
+    if max_bucket is not None:
+        keep = (
+            bands_idx.groupBy("band_id", "bk")
+            .agg(F.count_distinct("idx_id").alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("band_id", "bk")
+        )
+        bands_idx = bands_idx.join(keep, ["band_id", "bk"])
+    cand = (
+        bands_new.join(bands_idx, ["band_id", "bk"])
+        .select("doc_id", "idx_id")
+        .distinct()
+    )
+    sa = sig_new.select(
+        "doc_id", *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(MINHASH_SEEDS)]
+    )
+    sb = sig_idx.select(
+        F.col("doc_id").alias("idx_id"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(MINHASH_SEEDS)],
+    )
+    n_match = None
+    for s in range(MINHASH_SEEDS):
+        t = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_match").desc(), F.col("idx_id").asc()
+    )
+    best = (
+        cand.join(sa, "doc_id")
+        .join(sb, "idx_id")
+        .select("doc_id", "idx_id", n_match.cast("int").alias("n_match"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("idx_id"), F.lit(-1)).alias("matched_doc_id"),
+        F.coalesce(F.col("n_match"), F.lit(0)).cast("int").alias("n_match"),
+        (F.coalesce(F.col("n_match"), F.lit(0)) >= INCR_DUP_MIN_MATCH)
+        .cast("int")
+        .alias("is_dup"),
+    )

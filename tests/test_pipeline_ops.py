@@ -824,3 +824,104 @@ def test_ntile_histogram_scalar_replay(spark):
     for s, vals in by_src.items():
         sizes = [got[(s, q)][0] for q in range(1, NTILE_BUCKETS + 1) if (s, q) in got]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_dedup_incremental_scalar_replay(spark):
+    """Full hashlib replay of the batch-vs-index screening: split +
+    re-crawl injection, per-side minhash signatures, band collisions
+    (new x index only), best-match total order, dup threshold."""
+    import hashlib
+
+    from astrospark.ops.dedup import (
+        BAND_SIZE,
+        INCR_DUP_MIN_MATCH,
+        INCR_NEW_MOD,
+        INCR_NEW_REM,
+        INCR_RECRAWL_MOD,
+        INCR_RECRAWL_OFFSET,
+        INCR_RECRAWL_SUFFIX,
+        MINHASH_SEEDS,
+        dedup_incremental,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    idx = {r.doc_id: r.text for r in docs if r.doc_id % INCR_NEW_MOD != INCR_NEW_REM}
+    batch = {r.doc_id: r.text for r in docs if r.doc_id % INCR_NEW_MOD == INCR_NEW_REM}
+    for d, t in idx.items():
+        if d % INCR_RECRAWL_MOD == 0:
+            batch[d + INCR_RECRAWL_OFFSET] = t + INCR_RECRAWL_SUFFIX
+
+    def sig(text):
+        ws = text.split(" ")
+        sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not sh:
+            return None
+        full = {
+            (p, g): hashlib.md5(f"{p}#{g}".encode()).hexdigest()
+            for g in sh
+            for p in range(4)
+        }
+        return [
+            min(full[(s // 4, g)][(s % 4) * 8 : (s % 4) * 8 + 8] for g in sh)
+            for s in range(MINHASH_SEEDS)
+        ]
+
+    def bands(sg):
+        return [
+            hashlib.md5(
+                "|".join(sg[b * BAND_SIZE + i] for i in range(BAND_SIZE)).encode()
+            ).hexdigest()
+            for b in range(MINHASH_SEEDS // BAND_SIZE)
+        ]
+
+    isig = {d: s for d, s in ((d, sig(t)) for d, t in idx.items()) if s}
+    iband = {d: bands(s) for d, s in isig.items()}
+    expected = {}
+    for nd, nt in batch.items():
+        ns = sig(nt)
+        n_match, matched = 0, -1
+        if ns:
+            nb = bands(ns)
+            cands = [
+                d for d, ib in iband.items() if any(x == y for x, y in zip(nb, ib))
+            ]
+            scored = sorted(
+                ((sum(a == b for a, b in zip(ns, isig[d])), d) for d in cands),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if scored:
+                n_match, matched = scored[0]
+        expected[nd] = (matched, n_match, int(n_match >= INCR_DUP_MIN_MATCH))
+
+    got = {
+        r.doc_id: (r.matched_doc_id, r.n_match, r.is_dup)
+        for r in dedup_incremental(spark, SF, max_bucket=None).collect()
+    }
+    assert got == expected
+    # exactly one verdict per batch doc; both verdicts occur; at least one
+    # re-crawl matches its own source doc under the offset convention
+    assert len(got) == len(batch)
+    flags = {v[2] for v in got.values()}
+    assert flags == {0, 1}
+    assert any(
+        d >= INCR_RECRAWL_OFFSET and m == d - INCR_RECRAWL_OFFSET
+        for d, (m, _, f) in got.items()
+        if f == 1
+    )
+
+
+def test_dedup_incremental_bucket_bound_routes_out(spark):
+    """max_bucket=0 drops every index bucket from the pairwise path:
+    the verdict stream still carries one row per batch doc (nothing is
+    silently lost), but every row is novel — the bound caps candidate
+    fan-out without truncating the output contract."""
+    from astrospark.ops.dedup import dedup_incremental
+
+    rows = dedup_incremental(spark, SF, max_bucket=0).collect()
+    baseline = dedup_incremental(spark, SF, max_bucket=None).count()
+    assert len(rows) == baseline
+    assert all(r.is_dup == 0 and r.matched_doc_id == -1 for r in rows)
