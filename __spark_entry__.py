@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda spark, sf_dir: dedup.dedup_incremental(
             spark, sf_dir, max_bucket=None
         ),
+        # mergeable log2-histogram quantile sketch (scale path beside
+        # ntile_histogram's exact sort-based readout)
+        "quantile_sketch": text.quantile_sketch,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -327,6 +330,34 @@ def _minhash_sql() -> str:
         "pairs AS (SELECT DISTINCT doc_a, doc_b FROM (" + band_union + ")) "
         "SELECT p.doc_a, p.doc_b, round((" + est + f") / {MINHASH_SEEDS}.0, 4) AS est_jaccard "
         "FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b"
+    )
+
+
+def _qsketch_sql() -> str:
+    """Log2-bucket quantile sketch: cells via the integer binary-length
+    bucket (Spark bin() == DuckDB format('{:b}')), ceil-rank walk and
+    in-bucket interpolation in pure integer arithmetic (// == div).
+    DuckDB window SUMs are HUGEINT — cast at the output boundary."""
+    from astrospark.ops.text import QSKETCH_QS
+
+    qvals = ", ".join(f"({q})" for q in QSKETCH_QS)
+    return (
+        "WITH cells AS (SELECT source, "
+        "CAST(length(format('{:b}', n_chars)) AS INT) AS bucket, "
+        "count(*) AS cnt FROM documents GROUP BY source, bucket), "
+        "c2 AS (SELECT source, bucket, cnt, "
+        "sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum, "
+        "sum(cnt) OVER (PARTITION BY source) AS n_docs FROM cells), "
+        f"r AS (SELECT c2.*, q, (q * n_docs + 99) // 100 AS r "
+        f"FROM c2, (VALUES {qvals}) AS qv(q)), "
+        "b AS (SELECT *, CASE WHEN bucket = 1 THEN CAST(0 AS BIGINT) "
+        "ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo, "
+        "(CAST(1 AS BIGINT) << bucket) - 1 AS hi FROM r "
+        "WHERE cum - cnt < r AND r <= cum) "
+        "SELECT source, CAST(q AS INT) AS q, CAST(n_docs AS BIGINT) AS n_docs, "
+        "bucket, lo, hi, "
+        "CAST(lo + ((hi - lo) * (r - (cum - cnt) - 1)) "
+        "// greatest(cnt - 1, 1) AS BIGINT) AS est_chars FROM b"
     )
 
 
@@ -1419,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_incremental": _incremental_sql(),
+        "quantile_sketch": _qsketch_sql(),
         "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (

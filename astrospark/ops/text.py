@@ -1199,3 +1199,87 @@ def ntile_histogram(spark, sf_dir, buckets: int = NTILE_BUCKETS) -> DataFrame:
         )
         .select("source", F.col("q").cast("int").alias("q"), "n_docs_q", "lo", "hi")
     )
+
+
+QSKETCH_QS = (25, 50, 75, 95)
+
+
+def qsketch_cells(d: DataFrame) -> DataFrame:
+    """The sketch STATE: per (source, log2-bucket) document counts.
+
+    bucket = length(bin(n_chars)) = floor(log2 n_chars) + 1 (bucket 1
+    holds {0,1}), so a BIGINT domain needs at most 64 cells per source.
+    This is the mergeable half of the operator: cells from different
+    shards/days merge by SUMMING counts (asserted in tests), which is
+    what makes it the 100 TB path — each ingest batch contributes its
+    cells without ever rescanning history, exactly like the HLL
+    register max-merge and count-min cell sum-merge beside it.
+    """
+    return d.groupBy(
+        "source", F.length(F.bin("n_chars")).cast("int").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def qsketch_quantiles(cells: DataFrame, qs=QSKETCH_QS) -> DataFrame:
+    """Quantile READOUT from sketch cells — pure integer arithmetic.
+
+    Rank rule: r = ceil(q*n/100) as (q*n + 99) div 100; the estimate
+    interpolates linearly inside the containing bucket's exact integer
+    bounds [lo, hi] with a single div, so both engines produce the
+    identical BIGINT (a float lerp would differ in the last ulp).
+    """
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("source").orderBy("bucket")
+    w_all = Window.partitionBy("source")
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    return (
+        cells.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n_docs", F.sum("cnt").over(w_all))
+        .withColumn("q", F.explode(qarr))
+        .withColumn("r", F.expr("(q * n_docs + 99) div 100"))
+        .filter((F.col("cum") - F.col("cnt") < F.col("r")) & (F.col("r") <= F.col("cum")))
+        .withColumn(
+            "lo",
+            F.expr(
+                "CASE WHEN bucket = 1 THEN CAST(0 AS BIGINT) "
+                "ELSE shiftleft(CAST(1 AS BIGINT), bucket - 1) END"
+            ),
+        )
+        .withColumn("hi", F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+        .select(
+            "source",
+            F.col("q").cast("int").alias("q"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "bucket",
+            "lo",
+            "hi",
+            F.expr(
+                "CAST(lo + ((hi - lo) * (r - (cum - cnt) - 1)) "
+                "div greatest(cnt - 1, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("est_chars"),
+        )
+    )
+
+
+def quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Mergeable quantile sketch of document length per source — the
+    SCALE path beside ``ntile_histogram``'s exact equi-depth readout.
+
+    ntile is the ground truth but costs a per-source SORT of every row
+    (the spillable window sort); at 10^12 rows an engine keeps a sketch
+    instead. This one is the log2 histogram: the corpus collapses
+    map-side into <= 64 (source, bucket) cells — the ONLY exchange that
+    sees data carries cells, not documents, and cells sum-merge across
+    shards/days/streams without rescanning history. The quantile
+    readout (rank walk + in-bucket integer interpolation) runs on the
+    sketch alone, so its windows/joins touch <= 64 rows per source.
+    Error is bounded by the bucket width (relative error <= 2x, i.e.
+    exact to the binary order of magnitude) — the right tradeoff for
+    skew detection and range-partition planning, where the planner
+    needs "which decade is p95 in", not the exact character count;
+    tests assert the exact ntile-rule quantile falls inside every
+    reported [lo, hi].
+    """
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    return qsketch_quantiles(qsketch_cells(d))

@@ -925,3 +925,96 @@ def test_dedup_incremental_bucket_bound_routes_out(spark):
     baseline = dedup_incremental(spark, SF, max_bucket=None).count()
     assert len(rows) == baseline
     assert all(r.is_dup == 0 and r.matched_doc_id == -1 for r in rows)
+
+
+def test_quantile_sketch_scalar_replay_and_accuracy(spark):
+    """Integer replay of the log2-cell build + ceil-rank readout, plus
+    the accuracy contract: the EXACT quantile under the same rank rule
+    always falls inside the reported bucket's [lo, hi]."""
+    from collections import Counter, defaultdict
+
+    from astrospark.ops.text import QSKETCH_QS, quantile_sketch
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    cells: Counter = Counter()
+    by_src = defaultdict(list)
+    for r in rows:
+        cells[(r.source, len(format(r.n_chars, "b")))] += 1
+        by_src[r.source].append(r.n_chars)
+
+    expected = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        src_cells = sorted(
+            (b, c) for (s, b), c in cells.items() if s == src
+        )
+        for q in QSKETCH_QS:
+            r = (q * n + 99) // 100
+            cum = 0
+            for b, c in src_cells:
+                if cum < r <= cum + c:
+                    lo = 0 if b == 1 else 1 << (b - 1)
+                    hi = (1 << b) - 1
+                    est = lo + ((hi - lo) * (r - cum - 1)) // max(c - 1, 1)
+                    expected[(src, q)] = (n, b, lo, hi, est)
+                    # exact quantile (same ceil-rank rule) is inside the cell
+                    assert lo <= vals[r - 1] <= hi
+                    break
+                cum += c
+
+    got = {
+        (r.source, r.q): (r.n_docs, r.bucket, r.lo, r.hi, r.est_chars)
+        for r in quantile_sketch(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_quantile_sketch_cells_sum_merge(spark):
+    """Mergeability: cells built on two disjoint shards and SUM-merged
+    give register-identical state — and therefore identical quantile
+    readouts — to the single-pass build (the property that lets daily
+    ingest batches contribute without rescanning history)."""
+    import pyspark.sql.functions as F
+
+    from astrospark.ops.text import qsketch_cells, qsketch_quantiles
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    )
+    whole = qsketch_cells(d.drop("doc_id"))
+    merged = (
+        qsketch_cells(d.filter(d.doc_id % 2 == 0).drop("doc_id"))
+        .unionAll(qsketch_cells(d.filter(d.doc_id % 2 == 1).drop("doc_id")))
+        .groupBy("source", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda r: (r.source, r.bucket)
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    q_whole = sorted(map(tuple, qsketch_quantiles(whole).collect()))
+    q_merged = sorted(map(tuple, qsketch_quantiles(merged).collect()))
+    assert q_whole == q_merged
+
+
+def test_quantile_sketch_exchange_carries_cells_not_docs(spark):
+    """Plan shape: document rows hit ONE map-side-combinable hash
+    aggregate; every exchange after the partial agg carries sketch
+    cells. No sort of the corpus appears anywhere (that's ntile's
+    job) — only the window sort over <= 64 cells per source."""
+    from astrospark.ops.text import quantile_sketch
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        quantile_sketch(spark, SF).explain(mode="formatted")
+    plan = buf.getvalue()
+    # partial_count below the cell-key exchange = docs collapse map-side;
+    # exactly two exchanges total (cell agg + the <=64-cells-per-source
+    # window), one corpus scan, no blow-up joins
+    assert "partial_count(1)" in plan
+    assert plan.count("hashpartitioning(") == 2
+    assert plan.count("Scan parquet") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
