@@ -716,8 +716,26 @@ def dedup_incremental(
         )
     )
     sig_idx = scoped_persist(minhash_signature(idx))
+    return screen_batch(batch, sig_idx, max_bucket=max_bucket)
+
+
+def screen_batch(
+    batch: DataFrame,
+    index_sig: DataFrame,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Core of the incremental screening, factored over the STORED index
+    artifact: ``batch`` is (doc_id, text) to verify; ``index_sig`` is the
+    corpus's minhash signature table (``minhash_signature`` output —
+    computed once at ingest and persisted / stored as a table, NOT
+    recomputed per batch). This is the entry point both the contract
+    query (which derives the index from the deterministic split) and the
+    streaming foreachBatch path (which reuses ONE persisted signature
+    frame across every micro-batch) call — one implementation, so the
+    drained stream's verdicts equal the batch operator's row-for-row.
+    """
     sig_new = scoped_persist(minhash_signature(batch))
-    bands_idx = _minhash_bands(sig_idx).withColumnRenamed("doc_id", "idx_id")
+    bands_idx = _minhash_bands(index_sig).withColumnRenamed("doc_id", "idx_id")
     bands_new = _minhash_bands(sig_new)
     if max_bucket is not None:
         keep = (
@@ -735,7 +753,7 @@ def dedup_incremental(
     sa = sig_new.select(
         "doc_id", *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(MINHASH_SEEDS)]
     )
-    sb = sig_idx.select(
+    sb = index_sig.select(
         F.col("doc_id").alias("idx_id"),
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(MINHASH_SEEDS)],
     )
