@@ -263,6 +263,8 @@ def main() -> None:
         "heavy_hitters_cmsketch": _text.heavy_hitters_cmsketch,
         "bottomk_sample": _text.bottomk_sample,
         "ntile_histogram": _text.ntile_histogram,
+        "quantile_sketch": _text.quantile_sketch,
+        "dedup_incremental": _dedup.dedup_incremental,
     }.items():
         rs = []
         for _ in range(REPEATS):

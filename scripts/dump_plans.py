@@ -283,6 +283,20 @@ NOTES = {
         "aggregate map-side after assignment. Exact ANSI ntile rule, "
         "identical in DuckDB over the deterministic total order."
     ),
+    "quantile_sketch": (
+        "Mergeable log2-histogram quantiles (the scale path beside "
+        "ntile): documents collapse map-side into <=64 (source, bucket) "
+        "cells — partial_count below the first exchange — and every "
+        "window/join after that touches cells only; integer ceil-rank "
+        "readout replays exactly in DuckDB."
+    ),
+    "dedup_incremental": (
+        "Batch-vs-index screening: candidate generation is ONE band-key "
+        "equi-join of the new batch against the (stored-at-scale) index "
+        "signatures — never index x index; index-side buckets bounded "
+        "like dedup_minhash_lsh; one row_number window picks the best "
+        "match by an integer total order."
+    ),
 }
 
 
