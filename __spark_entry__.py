@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable log2-histogram quantile sketch (scale path beside
         # ntile_histogram's exact sort-based readout)
         "quantile_sketch": text.quantile_sketch,
+        # bucketed point-in-interval join (range join as equi-join on
+        # quantized time buckets — never BroadcastNestedLoop/cartesian)
+        "interval_join": events.interval_join,
+        # hot-key-salted equi-join (results identical to the plain join;
+        # salt is plan-internal, so the oracle replays unsalted SQL)
+        "salted_join": relational.salted_join,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1451,6 +1457,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_incremental": _incremental_sql(),
         "quantile_sketch": _qsketch_sql(),
+        # interval_join: the Spark side quantizes time into buckets to
+        # get an equi-join; the oracle replays the plain inequality
+        # join — identical matched pairs, microsecond-integer compare
+        # (the session-TZ offset on both sides cancels in the BETWEEN)
+        "interval_join": (
+            "WITH err AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo_us, "
+            "epoch_us(ts) + 3600000000 AS hi_us FROM events WHERE event_type = 'error'), "
+            "p AS (SELECT epoch_us(ts) AS t_us, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT interval_id, CAST(count(*) AS INT) AS n_purchases, "
+            "CAST(sum(cents) AS BIGINT) AS purchase_cents "
+            "FROM err JOIN p ON p.t_us BETWEEN err.lo_us AND err.hi_us "
+            "GROUP BY interval_id"
+        ),
+        # salted_join: the salt is plan-internal (spreads the hot user_id
+        # shuffle); the result is identical to the plain join, so the
+        # oracle is the unsalted SQL
+        "salted_join": (
+            "WITH c AS (SELECT user_id, CAST(count(*) AS INT) AS n_clicks "
+            "FROM events WHERE event_type = 'click' GROUP BY user_id), "
+            "p AS (SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT p.user_id, CAST(count(*) AS INT) AS n_purchases, "
+            "max(c.n_clicks) AS n_clicks, CAST(sum(p.cents) AS BIGINT) AS purchase_cents "
+            "FROM p JOIN c ON p.user_id = c.user_id GROUP BY p.user_id"
+        ),
         "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (

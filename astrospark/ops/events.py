@@ -127,3 +127,77 @@ def asof_attribution(spark, sf_dir) -> DataFrame:
             .alias("gap_us"),
         )
     )
+
+
+# --- point-in-interval join -------------------------------------------------
+
+INCIDENT_WINDOW_US = 3_600_000_000  # 1 hour, in microseconds
+
+
+def point_in_interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    t_col: str = "t_us",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    bucket_us: int = INCIDENT_WINDOW_US,
+) -> DataFrame:
+    """Generic point-in-interval equi-join: match every probe row whose
+    integer time ``t_col`` falls inside ``[lo_col, hi_col]`` (inclusive)
+    of an interval row — the range-join shape Spark has no native
+    operator for.
+
+    The naive formulation ``probe.join(intervals, (lo <= t) & (t <= hi))``
+    has no equi-key, so Catalyst plans BroadcastNestedLoopJoin (or a
+    cartesian) — O(|probe| x |intervals|) and a broadcast-size bomb at
+    scale. This composition quantizes time into buckets of width
+    ``bucket_us``: each interval explodes to the distinct buckets it
+    covers (``ceil(len/bucket) + 1`` rows — 2 when interval length <=
+    bucket width), the probe side computes its single bucket for free,
+    and the join becomes a plain equi-join on the bucket key (shuffle
+    hash / sort-merge — scales linearly, AQE-skew-splittable) followed
+    by the exact range filter. A probe row's one bucket matches at most
+    one exploded row per interval, so no post-join dedup is needed.
+
+    Same decomposition DuckDB/Trino docs call the "binned range join";
+    the oracle replays it as a plain inequality join.
+    """
+    t, lo, hi = F.col(t_col), F.col(lo_col), F.col(hi_col)
+    b = F.lit(int(bucket_us))
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(lo / b), F.floor(hi / b))),
+    )
+    probed = probe.withColumn("_bucket", F.floor(t / b))
+    return (
+        probed.join(exploded, on="_bucket", how="inner")
+        .filter((lo <= t) & (t <= hi))
+        .drop("_bucket")
+    )
+
+
+def interval_join(spark, sf_dir) -> DataFrame:
+    """Incident enrichment: for each error event, how many purchases
+    (and how much purchase value) landed in the hour that followed —
+    the point-in-interval join realized as a bucketed equi-join (see
+    point_in_interval_join). Times compare as microsecond integers, so
+    the session-TZ offset introduced by the NTZ->timestamp cast cancels
+    inside the join predicate; money sums as exact integer cents
+    (order-independent across engines).
+    """
+    e = _events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        t_us.alias("lo_us"),
+        (t_us + F.lit(INCIDENT_WINDOW_US)).alias("hi_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        t_us.alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    pairs = point_in_interval_join(purchases, intervals)
+    return pairs.groupBy("interval_id").agg(
+        F.count("*").cast("int").alias("n_purchases"),
+        F.sum("cents").alias("purchase_cents"),
+    )

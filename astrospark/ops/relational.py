@@ -75,3 +75,73 @@ def r3_priority_with_lineitems(spark, sf_dir) -> DataFrame:
     return kept.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders")
     )
+
+
+# --- skew-salted equi-join --------------------------------------------------
+
+SALT_FACTOR = 8
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id_col: str,
+    factor: int = SALT_FACTOR,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key mitigation for large x large equi-joins: when one join key
+    carries a disproportionate share of the left side (a bot user, an
+    empty-string doc source), every row of that key lands in ONE shuffle
+    partition and a single straggler task runs as long as the whole hot
+    key — AQE's skew split helps sort-merge joins, but only after the
+    skewed exchange is already written.
+
+    Salting spreads the hot key BEFORE the exchange: the left side gets
+    a deterministic salt in [0, factor) hashed from a unique id column
+    (xxhash64 — content-derived, so re-runs and retries land identically;
+    never a random or partition-derived salt, which breaks retry
+    determinism), the right side replicates each row across all
+    ``factor`` salts, and the join key becomes (key, salt) — the hot
+    key's rows now spread over ``factor`` partitions. Row multiplicity
+    is exactly preserved: each left row carries one salt and meets each
+    matching right row exactly once (at that salt). Cost: ``factor`` x
+    the right side's shuffle volume — the standard trade, applied to the
+    smaller-but-not-broadcastable side.
+
+    The salt is plan-internal only; results are identical to the plain
+    join (asserted in tests/test_skew_join.py), so the DuckDB oracle
+    replays the unsalted SQL.
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(left_id_col)), F.lit(factor)).cast("int")
+    )
+    salts = F.array([F.lit(i) for i in range(factor)])
+    salted_right = right.withColumn("_salt", F.explode(salts))
+    return salted_left.join(salted_right, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_join(spark, sf_dir) -> DataFrame:
+    """Per-user purchase x click-profile join, executed through the
+    salted path: purchases (fact) join the per-user click-count profile
+    on user_id — the driver events table keys ~15 users over 10^3..10^5
+    events, exactly the low-cardinality/hot-key regime where an unsalted
+    user_id shuffle collapses onto a handful of tasks. Salt factor 8
+    spreads each user across 8 partitions; the profile side (one row per
+    user) replicates x8 — trivial here, and still linear at scale.
+    """
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("int").alias("n_clicks"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    joined = salted_equi_join(purchases, clicks, on="user_id", left_id_col="event_id")
+    return joined.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_purchases"),
+        F.max("n_clicks").alias("n_clicks"),
+        F.sum("cents").alias("purchase_cents"),
+    )

@@ -228,6 +228,7 @@ def main() -> None:
     from astrospark.ops import dedup as _dedup
     from astrospark.ops import events as _events
     from astrospark.ops import graph as _graph
+    from astrospark.ops import relational as _relational
     from astrospark.ops import similarity as _similarity
     from astrospark.ops import text as _text
 
@@ -265,6 +266,8 @@ def main() -> None:
         "ntile_histogram": _text.ntile_histogram,
         "quantile_sketch": _text.quantile_sketch,
         "dedup_incremental": _dedup.dedup_incremental,
+        "interval_join": _events.interval_join,
+        "salted_join": _relational.salted_join,
     }.items():
         rs = []
         for _ in range(REPEATS):

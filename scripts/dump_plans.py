@@ -297,6 +297,22 @@ NOTES = {
         "like dedup_minhash_lsh; one row_number window picks the best "
         "match by an integer total order."
     ),
+    "interval_join": (
+        "Range join as an equi-join: intervals explode to the time "
+        "buckets they cover (<=2 rows at the 1h bucket = window width), "
+        "probes compute their single bucket for free, and the join is a "
+        "plain shuffle equi-join on the bucket key + exact range filter "
+        "— never BroadcastNestedLoopJoin/cartesian (plan-pinned), "
+        "AQE-skew-splittable, linear at scale."
+    ),
+    "salted_join": (
+        "Hot-key mitigation: the fact side's join key becomes "
+        "(user_id, xxhash64(event_id) % 8) so the ~15-user key space "
+        "spreads over 8x the partitions; the profile side replicates "
+        "x8 via explode. Salt is content-derived (retry-deterministic) "
+        "and plan-internal — results identical to the unsalted join, "
+        "which is what the oracle replays."
+    ),
 }
 
 
