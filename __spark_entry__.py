@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         events,
         graph,
+        layout,
         multimodal,
         relational,
         similarity,
@@ -165,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hot-key-salted equi-join (results identical to the plain join;
         # salt is plan-internal, so the oracle replays unsalted SQL)
         "salted_join": relational.salted_join,
+        # z-order layout: coarse Morton-cell rollup of lineitem's
+        # (part, price) space — min-max scaled interleave, all integer
+        "zorder_cells": layout.zorder_cells,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1365,6 +1369,7 @@ def _semantic_dedup_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from astrospark.ops.layout import zorder_cells_sql
     from astrospark.ops.similarity import NEARDUP_COS, SIGN_DIMS
 
     bucket = " || ".join(
@@ -1483,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
             "max(c.n_clicks) AS n_clicks, CAST(sum(p.cents) AS BIGINT) AS purchase_cents "
             "FROM p JOIN c ON p.user_id = c.user_id GROUP BY p.user_id"
         ),
+        "zorder_cells": zorder_cells_sql(),
         "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (

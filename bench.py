@@ -228,6 +228,7 @@ def main() -> None:
     from astrospark.ops import dedup as _dedup
     from astrospark.ops import events as _events
     from astrospark.ops import graph as _graph
+    from astrospark.ops import layout as _layout
     from astrospark.ops import relational as _relational
     from astrospark.ops import similarity as _similarity
     from astrospark.ops import text as _text
@@ -268,6 +269,7 @@ def main() -> None:
         "dedup_incremental": _dedup.dedup_incremental,
         "interval_join": _events.interval_join,
         "salted_join": _relational.salted_join,
+        "zorder_cells": _layout.zorder_cells,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -313,6 +313,15 @@ NOTES = {
         "and plan-internal — results identical to the unsalted join, "
         "which is what the oracle replays."
     ),
+    "zorder_cells": (
+        "Morton layout rollup: min-max scale both dims to 16 bits "
+        "(broadcast 1-row stats — the classic unequal-bit-width pitfall "
+        "degenerates the curve to a single sort otherwise), interleave "
+        "with pure shift/and/or (whole-stage codegen, no UDF), roll up "
+        "8-bit-prefix cells. One exchange for the final agg; the write "
+        "path (repartitionByRange on the key + sortWithinPartitions) "
+        "is what OPTIMIZE ZORDER does in table formats."
+    ),
 }
 
 

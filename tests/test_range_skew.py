@@ -171,3 +171,42 @@ def test_salted_salt_is_deterministic(spark):
         map(tuple, salted_equi_join(left.repartition(7), right, "k", "row_id").collect())
     )
     assert a == b
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime complement to salting: with AQE's skew-join enabled
+    (library session default) and thresholds scaled to test data, a
+    sort-merge join against a 95%-hot key gets its hot partition SPLIT
+    at runtime — the final adaptive plan carries SortMergeJoin(skew=true).
+    Salting (compile-time, works for any join type) and AQE splitting
+    (runtime, SMJ only, after the skewed shuffle is written) are the two
+    layers of the skew story; both are now executable."""
+    rows = [(i, "hot" if i % 20 else "c%d" % (i % 50), "x" * 50) for i in range(60000)]
+    left = spark.createDataFrame(rows, "row_id long, k string, pad string")
+    right = spark.createDataFrame(
+        [("hot", 1)] + [("c%d" % i, i) for i in range(50)], "k string, v int"
+    )
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+    }
+    saved = {}
+    for key, val in tuned.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        joined = left.join(right.hint("shuffle_merge"), "k")
+        assert len(joined.collect()) == 60000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
