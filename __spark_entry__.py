@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # z-order layout: coarse Morton-cell rollup of lineitem's
         # (part, price) space — min-max scaled interleave, all integer
         "zorder_cells": layout.zorder_cells,
+        # cross-source vocabulary overlap from bottom-k word sketches
+        # (theta-sketch intersection idiom; md5 ranks, integer counts)
+        "overlap_bottomk": text.overlap_bottomk,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1489,6 +1492,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN c ON p.user_id = c.user_id GROUP BY p.user_id"
         ),
         "zorder_cells": zorder_cells_sql(),
+        "overlap_bottomk": (
+            "WITH words AS (SELECT DISTINCT source, md5(w) AS h "
+            "FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE length(w) > 0), "
+            "bk AS (SELECT source, h FROM (SELECT source, h, "
+            "row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM words) "
+            "WHERE rk <= 64), "
+            "srcs AS (SELECT DISTINCT source FROM bk), "
+            "p AS (SELECT a.source sa, b.source sb FROM srcs a JOIN srcs b ON a.source < b.source), "
+            "u AS (SELECT p.sa, p.sb, bk.h, "
+            "max(CASE WHEN bk.source = p.sa THEN 1 ELSE 0 END) AS ina, "
+            "max(CASE WHEN bk.source = p.sb THEN 1 ELSE 0 END) AS inb "
+            "FROM p JOIN bk ON bk.source = p.sa OR bk.source = p.sb "
+            "GROUP BY p.sa, p.sb, bk.h), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS urk FROM u) "
+            "SELECT sa AS source_a, sb AS source_b, CAST(count(*) AS INT) AS ku, "
+            "CAST(sum(ina * inb) AS INT) AS inter, "
+            "round(sum(ina * inb) / count(*), 4) AS jaccard_est "
+            "FROM r WHERE urk <= 64 GROUP BY sa, sb"
+        ),
         "dedup_cc_clusters": _cc_clusters_sql(),
         "simhash16": _simhash_sql(),
         "r1_pricing_summary": (

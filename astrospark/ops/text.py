@@ -1283,3 +1283,77 @@ def quantile_sketch(spark, sf_dir) -> DataFrame:
     """
     d = _docs(spark, sf_dir).select("source", "n_chars")
     return qsketch_quantiles(qsketch_cells(d))
+
+
+OVERLAP_K = 64
+
+
+def overlap_bottomk(spark, sf_dir, k: int = OVERLAP_K) -> DataFrame:
+    """Cross-source vocabulary-overlap estimation from bottom-k word
+    sketches (Cohen & Kaplan 2007; the theta-sketch intersection idiom
+    every warehouse ships as ``theta_intersect``): estimate the Jaccard
+    similarity of every source pair's vocabulary WITHOUT joining
+    vocabularies — each source keeps only its k smallest md5(word)
+    hashes, and for a pair the fraction of the union-sketch's bottom-k
+    that lies in BOTH sides is an unbiased Jaccard estimate (stderr
+    ~ sqrt(J(1-J)/k)). The pipeline use: corpus-mixture planning and
+    cross-crawl contamination screens over 10^4 sources whose pairwise
+    exact joins would be 10^8 vocabulary intersections.
+
+    Scale shape: distinct (source, word) is the only corpus-sized
+    shuffle; the per-source bottom-k then rides the SAME
+    WindowGroupLimit two-phase top-k as bottomk_sample (each input
+    partition ships only its local bottom-k). Everything after operates
+    on <= sources x k sketch rows: the pair table (sources^2/2, itself
+    dictionary-bounded) joins the sketch rows via a broadcast
+    nested-loop against the TINY sketch side — bounded by construction,
+    like every other dictionary crossJoin in this repo. Sketches
+    sum-merge across shards/days (bottom-k of a union == bottom-k of
+    unioned bottom-k sets — asserted for bottomk_sample), so day-2
+    estimation never rescans old corpora.
+
+    Cross-engine: md5 ranks, integer counts, one round(x,4) on an
+    identical double division — the standard portability kit.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    hashed = words.select("source", F.md5("w").alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    bk = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "h")
+    )
+    srcs = bk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    # pair x sketch membership: theta join against the <= sources*k
+    # sketch frame (tiny, broadcast) — GROUP BY collapses each hash's
+    # two possible rows into union membership flags
+    u = (
+        pairs.join(
+            F.broadcast(bk),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("sa"), 1).otherwise(0)).alias("ina"),
+            F.max(F.when(F.col("source") == F.col("sb"), 1).otherwise(0)).alias("inb"),
+        )
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy(F.asc("h"))
+    ranked = u.withColumn("urk", F.row_number().over(wu)).filter(F.col("urk") <= k)
+    return (
+        ranked.groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.count("*").cast("int").alias("ku"),
+            F.sum(F.col("ina") * F.col("inb")).cast("int").alias("inter"),
+        )
+        .withColumn("jaccard_est", F.round(F.col("inter") / F.col("ku"), 4))
+    )

@@ -270,6 +270,7 @@ def main() -> None:
         "interval_join": _events.interval_join,
         "salted_join": _relational.salted_join,
         "zorder_cells": _layout.zorder_cells,
+        "overlap_bottomk": _text.overlap_bottomk,
     }.items():
         rs = []
         for _ in range(REPEATS):

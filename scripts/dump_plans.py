@@ -322,6 +322,14 @@ NOTES = {
         "path (repartitionByRange on the key + sortWithinPartitions) "
         "is what OPTIMIZE ZORDER does in table formats."
     ),
+    "overlap_bottomk": (
+        "Theta-sketch intersection: distinct (source, word) is the only "
+        "corpus-sized shuffle; WindowGroupLimit ships each partition's "
+        "local bottom-k only. Everything after runs on <= sources x 64 "
+        "sketch rows — the pair expansion is a broadcast theta join "
+        "against the tiny sketch frame, dictionary-bounded by "
+        "construction; sketches sum-merge across shards (asserted)."
+    ),
 }
 
 

@@ -1018,3 +1018,89 @@ def test_quantile_sketch_exchange_carries_cells_not_docs(spark):
     assert plan.count("hashpartitioning(") == 2
     assert plan.count("Scan parquet") >= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_bottomk_scalar_replay(spark):
+    """Independent hashlib replay of the full estimator at sf0.001:
+    per-source bottom-k of md5(word), union-sketch bottom-k membership
+    counts, and the rounded estimate."""
+    import hashlib
+
+    from astrospark.ops.text import OVERLAP_K, overlap_bottomk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vocab: dict[str, set] = {}
+    for r in docs:
+        vocab.setdefault(r.source, set()).update(
+            w for w in r.text.split(" ") if w
+        )
+    bk = {
+        s: sorted(hashlib.md5(w.encode()).hexdigest() for w in ws)[:OVERLAP_K]
+        for s, ws in vocab.items()
+    }
+    expected = {}
+    for sa in sorted(bk):
+        for sb in sorted(bk):
+            if sa >= sb:
+                continue
+            union = sorted(set(bk[sa]) | set(bk[sb]))[:OVERLAP_K]
+            ku = len(union)
+            inter = sum(1 for h in union if h in set(bk[sa]) and h in set(bk[sb]))
+            expected[(sa, sb)] = (ku, inter, round(inter / ku, 4))
+
+    got = {
+        (r.source_a, r.source_b): (r.ku, r.inter, r.jaccard_est)
+        for r in overlap_bottomk(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) == len(expected) > 0
+
+
+def test_overlap_bottomk_estimates_planted_jaccard(spark, tmp_path):
+    """Accuracy on a corpus where the true vocabulary Jaccard is
+    planted: two sources share half their 1200-word vocabularies
+    (J = 1/3), a third is disjoint (J = 0). k=64 gives stderr ~0.06;
+    assert within 3 sigma."""
+    from astrospark.ops.text import overlap_bottomk
+
+    def doc(words):
+        return " ".join(words)
+
+    a_words = [f"alpha{i}" for i in range(800)] + [f"shared{i}" for i in range(400)]
+    b_words = [f"beta{i}" for i in range(800)] + [f"shared{i}" for i in range(400)]
+    c_words = [f"gamma{i}" for i in range(1200)]
+    rows = []
+    for src, ws in (("sA", a_words), ("sB", b_words), ("sC", c_words)):
+        for j in range(0, len(ws), 100):  # 12 docs per source
+            chunk = ws[j : j + 100]
+            rows.append((len(rows), doc(chunk), "en", src, len(doc(chunk))))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    est = {
+        (r.source_a, r.source_b): r.jaccard_est
+        for r in overlap_bottomk(spark, str(tmp_path)).collect()
+    }
+    true_ab = 400 / 2000  # |shared| / |union| = 400 / (800+800+400)
+    assert abs(est[("sA", "sB")] - true_ab) < 0.18
+    assert est[("sA", "sC")] == 0.0
+    assert est[("sB", "sC")] == 0.0
+
+
+def test_overlap_bottomk_is_shard_mergeable(spark, tmp_path):
+    """Day-2 property: per-source sketches built on two shards and
+    merged (bottom-k of unioned bottom-k sets) give the SAME pair
+    estimates as one pass over the full corpus — the op re-run over a
+    physically re-sharded copy of the corpus must agree exactly."""
+    from astrospark.ops.text import overlap_bottomk
+
+    full = sorted(map(tuple, overlap_bottomk(spark, SF).collect()))
+    resharded = str(tmp_path)
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .repartition(7)
+        .write.parquet(resharded + "/documents.parquet")
+    )
+    again = sorted(map(tuple, overlap_bottomk(spark, resharded).collect()))
+    assert full == again

@@ -123,3 +123,47 @@ def test_bucketed_join_has_no_exchange(spark, artifacts, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS spans_b")
         spark.sql("DROP TABLE IF EXISTS docs_b")
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime row-level filtering at scale: when a large shuffle join
+    has a selective build side, Catalyst injects a bloom filter —
+    bloom_filter_agg on the dim side, might_contain pre-filtering the
+    fact scan BEFORE the shuffle — so most fact rows never cross the
+    exchange. Thresholds are tuned to test data size; the feature is on
+    by default in the library session (spark.sql.optimizer.runtime.
+    bloomFilter.enabled), so at production scale this fires without
+    code changes."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for key, val in tuned.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        urgent = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        assert joined.count() > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:600]
+        assert "might_contain" in plan, plan[:600]
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
