@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-source vocabulary overlap from bottom-k word sketches
         # (theta-sketch intersection idiom; md5 ranks, integer counts)
         "overlap_bottomk": text.overlap_bottomk,
+        # ordered funnel signup->click->purchase (single-pass sorted-
+        # array fold; oracle replays via chained conditional-min CTEs)
+        "funnel_stages": events.funnel_stages,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1492,6 +1495,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN c ON p.user_id = c.user_id GROUP BY p.user_id"
         ),
         "zorder_cells": zorder_cells_sql(),
+        "funnel_stages": (
+            "WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events "
+            "WHERE event_type IN ('signup','click','purchase')), "
+            "s1 AS (SELECT user_id, min(t) AS e1 FROM f WHERE et = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT f.user_id, min(f.t) AS e2 FROM f JOIN s1 USING (user_id) "
+            "WHERE f.et = 'click' AND f.t >= s1.e1 GROUP BY f.user_id), "
+            "s3 AS (SELECT f.user_id, min(f.t) AS e3 FROM f JOIN s2 USING (user_id) "
+            "WHERE f.et = 'purchase' AND f.t >= s2.e2 GROUP BY f.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM f), "
+            "stage AS (SELECT u.user_id, "
+            "CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 "
+            "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS max_stage "
+            "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id)) "
+            "SELECT max_stage, CAST(count(*) AS INT) AS n_users "
+            "FROM stage GROUP BY max_stage"
+        ),
         "overlap_bottomk": (
             "WITH words AS (SELECT DISTINCT source, md5(w) AS h "
             "FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) "

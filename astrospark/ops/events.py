@@ -201,3 +201,73 @@ def interval_join(spark, sf_dir) -> DataFrame:
         F.count("*").cast("int").alias("n_purchases"),
         F.sum("cents").alias("purchase_cents"),
     )
+
+
+# --- sequential funnel ------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_stages(spark, sf_dir) -> DataFrame:
+    """Ordered-funnel analysis: how far does each user get through
+    signup -> click -> purchase, where each stage must occur AT OR
+    AFTER the user's entry into the previous stage? The stage-k entry
+    time is min(ts of stage-k events >= entry(k-1)) — the standard
+    sequential-conversion semantic (a click before your signup does not
+    count). Output: one row per reached stage with the user count —
+    monotone non-increasing by construction.
+
+    Shape: ONE shuffle of (user_id, stage minima) partials — the three
+    stage-entry times fold in a single groupBy pass using conditional
+    aggregation over the per-user sorted event array (sort_array over
+    collect_list, then three aggregate() folds — all JVM higher-order
+    functions, no UDF, no self-join, no re-shuffle per stage). Per-user
+    state is that user's event list — the same per-key working set any
+    sessionization carries; the final stage rollup is 4 rows.
+
+    Cross-engine: timestamps compare as microsecond integers (NTZ
+    offset cancels); the DuckDB oracle replays the same semantic with
+    three chained conditional-min CTEs (engine-idiomatic, identical
+    result by the associativity of min-over-threshold).
+    """
+    e = _events(spark, sf_dir)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    evs = (
+        e.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select(
+            "user_id",
+            t_us.alias("t"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "et"))).alias("evs"))
+    )
+
+    def entry_after(prev_col, stage):
+        # min t of `stage` events with t >= prev entry; BIGINT sentinel
+        # when the stage is never reached (propagates: >= sentinel fails)
+        return F.aggregate(
+            "evs",
+            F.lit(2**62).cast("long"),
+            lambda acc, x: F.when(
+                (x["et"] == stage) & (x["t"] >= prev_col) & (x["t"] < acc), x["t"]
+            ).otherwise(acc),
+        )
+
+    staged = (
+        evs.withColumn("s1", entry_after(F.lit(0).cast("long"), FUNNEL_STAGES[0]))
+        .withColumn("s2", entry_after(F.col("s1"), FUNNEL_STAGES[1]))
+        .withColumn("s3", entry_after(F.col("s2"), FUNNEL_STAGES[2]))
+    )
+    sentinel = F.lit(2**62).cast("long")
+    stage_n = (
+        F.when(F.col("s3") < sentinel, 3)
+        .when(F.col("s2") < sentinel, 2)
+        .when(F.col("s1") < sentinel, 1)
+        .otherwise(0)
+    )
+    per_user = staged.select(stage_n.alias("max_stage"))
+    return (
+        per_user.groupBy("max_stage")
+        .agg(F.count("*").cast("int").alias("n_users"))
+    )

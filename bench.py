@@ -271,6 +271,7 @@ def main() -> None:
         "salted_join": _relational.salted_join,
         "zorder_cells": _layout.zorder_cells,
         "overlap_bottomk": _text.overlap_bottomk,
+        "funnel_stages": _events.funnel_stages,
     }.items():
         rs = []
         for _ in range(REPEATS):

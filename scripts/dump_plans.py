@@ -330,6 +330,14 @@ NOTES = {
         "against the tiny sketch frame, dictionary-bounded by "
         "construction; sketches sum-merge across shards (asserted)."
     ),
+    "funnel_stages": (
+        "Ordered funnel in ONE user_id exchange: per-user sorted event "
+        "array (ObjectHashAggregate collect_list) folded three times "
+        "with JVM aggregate() lambdas — no per-stage re-shuffle, no "
+        "self-join (plan-pinned <= 2 exchanges incl. the 4-row stage "
+        "rollup). The oracle replays the same semantic as chained "
+        "conditional-min CTEs."
+    ),
 }
 
 

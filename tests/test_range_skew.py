@@ -210,3 +210,60 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+# --- sequential funnel ------------------------------------------------------
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """Hand-built funnels: order matters (a click BEFORE signup does not
+    advance the funnel), equal timestamps count (>=), and users with
+    funnel events but no signup land at stage 0."""
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # u1: full ordered funnel -> stage 3
+        (1, ts(1), 1, "signup", 1.0, "{}"),
+        (2, ts(2), 1, "click", 1.0, "{}"),
+        (3, ts(3), 1, "purchase", 1.0, "{}"),
+        # u2: click precedes signup, no later click -> stage 1
+        (4, ts(1), 2, "click", 1.0, "{}"),
+        (5, ts(2), 2, "signup", 1.0, "{}"),
+        (6, ts(3), 2, "purchase", 1.0, "{}"),
+        # u3: signup+click, purchase BEFORE the click -> stage 2
+        (7, ts(1), 3, "signup", 1.0, "{}"),
+        (8, ts(2), 3, "purchase", 1.0, "{}"),
+        (9, ts(3), 3, "click", 1.0, "{}"),
+        # u4: purchase only -> stage 0 (in funnel population, no signup)
+        (10, ts(1), 4, "purchase", 1.0, "{}"),
+        # u5: all three at the SAME instant -> stage 3 (>= boundary)
+        (11, ts(5), 5, "signup", 1.0, "{}"),
+        (12, ts(5), 5, "click", 1.0, "{}"),
+        (13, ts(5), 5, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from astrospark.ops.events import funnel_stages
+
+    got = {r.max_stage: r.n_users for r in funnel_stages(spark, str(tmp_path)).collect()}
+    assert got == {3: 2, 2: 1, 1: 1, 0: 1}
+
+
+def test_funnel_single_aggregation_pass(spark):
+    """Scale shape: ONE user_id exchange feeds the whole stage
+    computation (sorted-array fold, no per-stage re-shuffle or
+    self-join); only the tiny 4-row stage rollup exchanges after it."""
+    from astrospark.ops.events import funnel_stages
+
+    plan = _plan(funnel_stages(spark, SF))
+    # formatted mode lists each node twice (tree + detail): 2 real
+    # exchanges = user agg + the 4-row stage rollup
+    assert plan.count("+- Exchange") <= 2, plan[:400]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
