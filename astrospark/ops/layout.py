@@ -150,3 +150,55 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # the usual HDFS/S3 block target
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a directory of parquet files into
+    ceil(total_bytes / target_bytes) files of ~target size — the
+    operational fix for the small-files problem every streaming /
+    incremental ingest creates (each micro-batch appends a file; a
+    100 TB table ingested in 1 MB dribbles is 10^8 files, and file
+    OPEN cost starts to dominate scans — see
+    streaming/extract_stream.py's sink note).
+
+    Spark-idiomatic: the file inventory comes from the driver-side
+    listing (bounded metadata, same discipline as checkpoint commit
+    reads), the rewrite is ONE job — read → repartition(n_out) [or
+    repartitionByRange(sort_col) to also restore clustering, composing
+    with write_zordered's layout] → write. Row set is preserved
+    exactly (asserted in tests/test_layout_zorder.py). Table formats do
+    this incrementally with bin-packing + a transactional swap; on raw
+    parquet the atomic-rename directory swap is the caller's move.
+
+    Returns {files_in, files_out, bytes_total, n_target}.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(f"{in_dir}/part-*.parquet")) or sorted(
+        _glob.glob(f"{in_dir}/*.parquet")
+    )
+    bytes_total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_total // target_bytes))
+    df = spark.read.parquet(in_dir)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_dir)
+    files_out = len(_glob.glob(f"{out_dir}/part-*.parquet"))
+    return {
+        "files_in": len(files),
+        "files_out": files_out,
+        "bytes_total": bytes_total,
+        "n_target": n_out,
+    }

@@ -104,3 +104,41 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
         assert z_worst < p_on_price
     finally:
         dims.unpersist()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """64 dribble files -> ceil(total/target) files; the row multiset
+    is untouched, and a sort_col compaction restores range clustering
+    (per-file min/max boxes become disjoint-ish)."""
+    from astrospark.ops.layout import compact_parquet
+
+    src = str(tmp_path / "dribble")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(src + "/part-*.parquet")
+    )
+    target = total // 4 + 1  # aim for ~4 output files
+    stats = compact_parquet(spark, src, out, target_bytes=target)
+    assert stats["files_in"] == 64
+    assert stats["files_out"] == stats["n_target"] <= 5
+
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
+
+    # sorted compaction: doc_id ranges of output files don't interleave
+    out2 = str(tmp_path / "sorted")
+    compact_parquet(spark, src, out2, target_bytes=target, sort_col="doc_id")
+    boxes = []
+    for f in sorted(glob.glob(out2 + "/part-*.parquet")):
+        r = spark.read.parquet(f).agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        boxes.append((r[0], r[1]))
+    boxes.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(boxes, boxes[1:]):
+        assert hi1 <= lo2  # disjoint ranges: range-partitioned layout
