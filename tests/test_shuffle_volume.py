@@ -1,0 +1,106 @@
+"""Measured shuffle volume — the docstring claims ("map-side combine
+bounds the shuffle to sketch cells, not rows") turned into numbers read
+off the executed plan's Exchange metrics (shuffleRecordsWritten /
+shuffleBytesWritten). AQE is disabled during measurement so the plan
+tree is the static one; every op still computes its normal result.
+
+At sf0.001 the corpus explodes to ~28k word occurrences; the mergeable
+sketch family must put only CELLS through its exchanges — two orders
+of magnitude less — or the 100 TB story is fiction."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+N_SOURCES = 20
+
+
+def _exchanges(df):
+    """Execute and return [(records, bytes)] for every Exchange node."""
+    df.collect()
+    out = []
+
+    def walk(n):
+        if n.nodeName() == "Exchange":
+            m, it = {}, n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            out.append(
+                (m.get("shuffleRecordsWritten"), m.get("shuffleBytesWritten"))
+            )
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _occurrences(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    return d.select(F.explode(F.split("text", " "))).count()
+
+
+def test_sketch_family_exchanges_carry_cells_not_rows(no_aqe):
+    """Count-min, quantile sketch, HLL, bottom-k, and the overlap
+    estimator: no exchange may carry more than the sketch-cell bound —
+    and every one is >=20x below the exploded word-occurrence volume."""
+    from astrospark.ops import text as T
+
+    spark = no_aqe
+    occ = _occurrences(spark)
+    assert occ > 20_000  # the corpus genuinely explodes
+
+    bounds = {
+        # (op, per-exchange record bound)
+        "heavy_hitters_cmsketch": (T.heavy_hitters_cmsketch, 4 * 64 * 8 + 200),
+        "quantile_sketch": (T.quantile_sketch, N_SOURCES * 64),
+        "hll_distinct_words": (T.hll_distinct_words, N_SOURCES * 64),
+        "bottomk_sample": (T.bottomk_sample, N_SOURCES * 5 * 8),
+    }
+    for name, (fn, bound) in bounds.items():
+        exs = _exchanges(fn(spark, SF))
+        assert exs, name
+        worst = max(r for r, _ in exs)
+        assert worst <= bound, (name, exs)
+        assert worst <= occ / 20, (name, worst, occ)
+
+
+def test_overlap_and_funnel_exchanges_bounded(no_aqe):
+    """overlap_bottomk's corpus-sized stage is the distinct
+    (source, word) pass — bounded by vocabulary, not occurrences;
+    everything after rides sketch rows. The funnel's exchanges carry
+    only per-user partials + the 4-row stage rollup."""
+    from astrospark.ops.events import funnel_stages
+    from astrospark.ops.text import overlap_bottomk
+
+    spark = no_aqe
+    occ = _occurrences(spark)
+    for r, _ in _exchanges(overlap_bottomk(spark, SF)):
+        assert r <= occ / 20, r
+    for r, _ in _exchanges(funnel_stages(spark, SF)):
+        assert r <= 200, r
+
+
+def test_bottomk_window_group_limit_is_effective(no_aqe):
+    """The WindowGroupLimit claim, measured: the single exchange ships
+    exactly the per-partition local bottom-k — sources x k records at
+    one input partition per source-slice, nowhere near the 2000-doc
+    corpus."""
+    from astrospark.ops.text import bottomk_sample
+
+    exs = _exchanges(bottomk_sample(no_aqe, SF))
+    assert len(exs) == 1
+    records, nbytes = exs[0]
+    assert records <= N_SOURCES * 5 * 8  # sources x k x max input splits
+    assert records < 2000 / 4  # corpus never crosses the wire
+    assert nbytes < 64 * 1024
