@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered funnel signup->click->purchase (single-pass sorted-
         # array fold; oracle replays via chained conditional-min CTEs)
         "funnel_stages": events.funnel_stages,
+        # exact weighted sampling (min-of-w-uniforms; no RNG, salt-
+        # rekeyable; in-row key fold + distributed top-k)
+        "sample_weighted": text.sample_weighted,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1495,6 +1498,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN c ON p.user_id = c.user_id GROUP BY p.user_id"
         ),
         "zorder_cells": zorder_cells_sql(),
+        "sample_weighted": (
+            "WITH w AS (SELECT doc_id, CAST(least(8, 1 + n_chars // 256) AS INT) AS w "
+            "FROM documents), "
+            "r AS (SELECT doc_id, w, unnest(range(1, w + 1)) AS rep FROM w), "
+            "k AS (SELECT doc_id, min(w) AS w, "
+            "min(md5(doc_id || ':' || rep || ':')) AS wkey FROM r GROUP BY doc_id) "
+            "SELECT doc_id, w, wkey FROM k ORDER BY wkey, doc_id LIMIT 100"
+        ),
         "funnel_stages": (
             "WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events "
             "WHERE event_type IN ('signup','click','purchase')), "

@@ -1357,3 +1357,54 @@ def overlap_bottomk(spark, sf_dir, k: int = OVERLAP_K) -> DataFrame:
         )
         .withColumn("jaccard_est", F.round(F.col("inter") / F.col("ku"), 4))
     )
+
+
+SAMPLE_W_K = 100
+SAMPLE_W_MAX = 8
+
+
+def sample_weighted(spark, sf_dir, k: int = SAMPLE_W_K, salt: str = "") -> DataFrame:
+    """EXACT weight-proportional sampling without replacement, no RNG:
+    the min-of-w-uniforms trick. A doc with integer weight w gets w
+    deterministic md5 replicas keyed (doc_id, replica, salt); its key
+    is the MINIMUM — distributed like the minimum of w iid uniforms, so
+    P(doc_i outranks doc_j) = w_i / (w_i + w_j), which is precisely the
+    A-ES / Efraimidis-Spirakis weighted-sampling order for integer
+    weights (u^(1/w) ~ max of w uniforms, mirrored). The global
+    bottom-k by that key IS a weighted sample: deterministic,
+    shard-stable, replayable in any engine — and re-keyable by salt for
+    independent draws (the statistical test sweeps salts and recovers
+    the 8:1 inclusion ratio).
+
+    Weights here: least(8, 1 + n_chars div 256) — longer documents
+    proportionally more likely, the "sample long-context training data
+    preferentially" knob.
+
+    Scale shape: ZERO pre-limit shuffles — the replica minimum folds
+    in-row via transform+array_min (no explode, no doc_id re-agg), and
+    the global bottom-k is TakeOrderedAndProject (per-partition local
+    top-k, driver merge of k x partitions rows). The DuckDB oracle
+    replays via unnest+group-min — engine-idiomatic, identical keys.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.least(F.lit(SAMPLE_W_MAX), F.expr("1 + n_chars div 256")).cast("int")
+    wkey = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.col("w")),
+            lambda r: F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    r.cast("string"),
+                    F.lit(":"),
+                    F.lit(salt),
+                )
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", w.alias("w"))
+        .withColumn("wkey", wkey)
+        .orderBy("wkey", "doc_id")
+        .limit(k)
+    )

@@ -272,6 +272,7 @@ def main() -> None:
         "zorder_cells": _layout.zorder_cells,
         "overlap_bottomk": _text.overlap_bottomk,
         "funnel_stages": _events.funnel_stages,
+        "sample_weighted": _text.sample_weighted,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -338,6 +338,14 @@ NOTES = {
         "rollup). The oracle replays the same semantic as chained "
         "conditional-min CTEs."
     ),
+    "sample_weighted": (
+        "Weight-proportional sampling with ZERO pre-limit shuffles: the "
+        "min-of-w md5 replica keys fold IN-ROW (transform + array_min — "
+        "no explode, no re-aggregation), and the global bottom-k is "
+        "TakeOrderedAndProject: per-partition local top-k, k x "
+        "partitions rows to the driver. Salt-rekeyable for independent "
+        "draws; P(i before j) = w_i/(w_i+w_j) exactly."
+    ),
 }
 
 

@@ -1104,3 +1104,69 @@ def test_overlap_bottomk_is_shard_mergeable(spark, tmp_path):
     )
     again = sorted(map(tuple, overlap_bottomk(spark, resharded).collect()))
     assert full == again
+
+
+def test_sample_weighted_scalar_replay(spark):
+    """hashlib replay of the min-of-w-uniforms keys and the global
+    bottom-k, including the tie-break order."""
+    import hashlib
+
+    from astrospark.ops.text import SAMPLE_W_K, SAMPLE_W_MAX, sample_weighted
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        w = min(SAMPLE_W_MAX, 1 + r.n_chars // 256)
+        key = min(
+            hashlib.md5(f"{r.doc_id}:{rep}:".encode()).hexdigest()
+            for rep in range(1, w + 1)
+        )
+        keyed.append((key, r.doc_id, w))
+    keyed.sort()
+    expected = [(d, w, k) for k, d, w in keyed[:SAMPLE_W_K]]
+
+    got = [
+        (r.doc_id, r.w, r.wkey) for r in sample_weighted(spark, SF).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_sample_weighted_recovers_weight_ratio(spark, tmp_path):
+    """Statistical property over independent salted draws: docs with
+    weight 8 are included ~8x as often as weight-1 docs (k small vs n,
+    inclusion probability ~ k*w / sum(w))."""
+    from pyspark.sql import functions as F2
+
+    from astrospark.ops.text import sample_weighted
+
+    # corpus: 500 docs, half weight 1 (n_chars=100) half weight 8 (n_chars=4000)
+    rows = [
+        (i, "x", "en", "s", 100 if i % 2 == 0 else 4000) for i in range(500)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    light = heavy = 0
+    n_draws = 30
+    for s in range(n_draws):
+        drawn = sample_weighted(spark, str(tmp_path), k=50, salt=str(s)).collect()
+        heavy += sum(1 for r in drawn if r.w == 8)
+        light += sum(1 for r in drawn if r.w == 1)
+    # expected heavy:light inclusion ratio ~8 (k/n small-ish); allow wide band
+    ratio = heavy / max(light, 1)
+    assert 4.0 <= ratio, (heavy, light)
+    assert heavy + light == n_draws * 50
+
+
+def test_sample_weighted_no_shuffle_before_topk(spark):
+    """Plan shape: the replica minimum folds in-row (no explode/agg) and
+    the only distributed structure is TakeOrderedAndProject."""
+    from astrospark.ops.text import sample_weighted
+
+    plan = _plan(sample_weighted(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Exchange" not in plan
+    assert "Generate" not in plan  # no explode
