@@ -104,3 +104,43 @@ def test_bottomk_window_group_limit_is_effective(no_aqe):
     assert records <= N_SOURCES * 5 * 8  # sources x k x max input splits
     assert records < 2000 / 4  # corpus never crosses the wire
     assert nbytes < 64 * 1024
+
+
+def test_window_ops_survive_external_buffering(spark):
+    """Spill-path invariance: with the window operator's in-memory
+    buffer capped at 50 rows (everything beyond routes through the
+    external UnsafeExternalSorter — the code path that spills to disk
+    under real memory pressure), the sort-heavy window ops return
+    byte-identical results. Disk-spill byte counters need static task
+    configs this session can't flip; routing through the external
+    buffer is the runtime-testable half of the spill story."""
+    from astrospark.ops.text import bottomk_sample, ntile_histogram
+
+    sf = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.windowExec.buffer.in.memory.threshold": "50",
+        "spark.sql.windowExec.buffer.spill.threshold": "50",
+        "spark.sql.windowGroupLimit.enabled": "false",  # force full window path
+    }
+    base = {
+        "ntile": sorted(map(tuple, ntile_histogram(spark, sf).collect())),
+        "bottomk": sorted(map(tuple, bottomk_sample(spark, sf).collect())),
+    }
+    saved = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        assert sorted(map(tuple, ntile_histogram(spark, sf).collect())) == base["ntile"]
+        assert (
+            sorted(map(tuple, bottomk_sample(spark, sf).collect())) == base["bottomk"]
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
