@@ -202,3 +202,53 @@ def compact_parquet(
         "bytes_total": bytes_total,
         "n_target": n_out,
     }
+
+
+def footer_stats(spark: SparkSession, path: str, col: str) -> dict:
+    """count/min/max of a parquet column answered from FOOTER METADATA,
+    no row scan: Spark's DSv2 parquet reader pushes whole-table
+    COUNT/MIN/MAX into the scan (``PushedAggregation`` in the plan) and
+    assembles the answer from each file's row count and column
+    statistics — the 100 TB "how big is this table / what date range
+    does it cover" query in O(files) footer reads instead of O(rows).
+
+    The two enabling confs are flipped only for the duration of the
+    call and restored after (aggregate pushdown lives on the v2 read
+    path, and the library session keeps parquet on the default v1 path
+    everywhere else); the aggregation executes eagerly inside the
+    flipped window so the captured plan is the one that ran. Returns
+    ``{"n", "min", "max", "pushed"}`` — ``pushed`` is read off the
+    EXECUTED plan, so callers (and tests/test_layout_zorder.py) can
+    assert the metadata-only path actually served the query. Pushdown
+    requires no data filter and a non-nested column; with either
+    present Spark silently falls back to a row scan, which this flag
+    surfaces. Timestamp columns are one such fallback (Spark excludes
+    them from footer MIN/MAX — int96-era stats are untrustworthy);
+    numeric/string/date columns push.
+    """
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        agg = spark.read.parquet(path).agg(
+            F.count("*").alias("n"),
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+        )
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {
+        "n": row["n"],
+        "min": row["mn"],
+        "max": row["mx"],
+        "pushed": "PushedAggregation: [" in plan and "COUNT(*)" in plan,
+    }

@@ -142,3 +142,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     boxes.sort()
     for (lo1, hi1), (lo2, hi2) in zip(boxes, boxes[1:]):
         assert hi1 <= lo2  # disjoint ranges: range-partitioned layout
+
+
+def test_footer_stats_pushed_and_exact(spark):
+    """count/min/max served from parquet footers (PushedAggregation on
+    the executed plan) must equal the row-scan answer, and the conf
+    flip must not leak: the session's parquet path stays v1 after."""
+    from astrospark.ops.layout import footer_stats
+
+    path = f"{SF}/lineitem.parquet"
+    got = footer_stats(spark, path, "l_quantity")
+    assert got["pushed"], "metadata-only path did not serve the aggregate"
+
+    scan = (
+        spark.read.parquet(path)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()[0]
+    )
+
+    # the documented fallback: timestamp MIN/MAX is excluded from
+    # footer stats — the flag must surface the silent row-scan.
+    assert not footer_stats(spark, path, "l_shipdate")["pushed"]
+    assert (got["n"], got["min"], got["max"]) == (scan["n"], scan["mn"], scan["mx"])
+
+    # conf restored: the ordinary read path is v1 FileScan again, and
+    # no PushedAggregation appears without the flip.
+    plain = spark.read.parquet(path).agg(F.count("*").alias("n"))
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan and "PushedAggregation" not in plan
