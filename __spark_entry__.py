@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact weighted sampling (min-of-w-uniforms; no RNG, salt-
         # rekeyable; in-row key fold + distributed top-k)
         "sample_weighted": text.sample_weighted,
+        # RAG-style sliding-window chunking (overlapping token windows;
+        # zero-shuffle map stage, the complement of pack_sequences)
+        "chunk_sliding": text.chunk_sliding,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1505,6 +1508,18 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, min(w) AS w, "
             "min(md5(doc_id || ':' || rep || ':')) AS wkey FROM r GROUP BY doc_id) "
             "SELECT doc_id, w, wkey FROM k ORDER BY wkey, doc_id LIMIT 100"
+        ),
+        "chunk_sliding": (
+            r"WITH t AS (SELECT doc_id, "
+            r"string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks "
+            r"FROM documents WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0), "
+            "s AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks), 48)) AS start_tok FROM t) "
+            "SELECT doc_id, CAST((start_tok - 1) // 48 AS INT) AS chunk_idx, "
+            "CAST(start_tok AS INT) AS start_tok, "
+            "CAST(least(64, len(toks) - start_tok + 1) AS INT) AS n_tok, "
+            "array_to_string(toks[start_tok : start_tok + 63], ' ') AS chunk_text "
+            "FROM s"
         ),
         "funnel_stages": (
             "WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events "

@@ -1408,3 +1408,59 @@ def sample_weighted(spark, sf_dir, k: int = SAMPLE_W_K, salt: str = "") -> DataF
         .orderBy("wkey", "doc_id")
         .limit(k)
     )
+
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride; overlap = CHUNK_W - CHUNK_S = 16 tokens
+
+
+def chunk_sliding(
+    spark, sf_dir, window: int = CHUNK_W, stride: int = CHUNK_S
+) -> DataFrame:
+    """RAG/embedding-style sliding-window chunking: split each document
+    into overlapping windows of ``window`` whitespace tokens advancing
+    by ``stride`` (trailing chunk keeps the remainder), emitting
+    (doc_id, chunk_idx, start_tok, n_tok, chunk_text). The complement
+    of pack_sequences: packing concatenates SHORT docs up to a context
+    budget, chunking splits LONG docs down to one — together they are
+    the two halves of context-window shaping for training/retrieval
+    corpora.
+
+    Scale shape: ZERO shuffles — whitespace-collapse, tokenize, the
+    start-offset sequence, the posexplode into chunk rows, and the
+    slice+join chunk assembly are all per-row JVM expressions (one
+    Generate, no Exchange; plan-pinned). Row growth is bounded by
+    ceil(n_tok / stride) per doc, linear in corpus token count — at
+    100 TB the op is a pure map stage that pipelines into whatever
+    shuffle the downstream embedder/indexer needs. The DuckDB oracle
+    replays the identical arithmetic (generate_series + 1-based
+    inclusive list slice); chunk_idx is derived as
+    (start_tok - 1) // stride in both engines.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    e = (
+        d.select("doc_id", F.split(norm, " ").alias("toks"), norm.alias("norm"))
+        # trim strips only 0x20 in both engines, so filter the COLLAPSED
+        # text — a tabs/newlines-only doc must emit nothing
+        .filter(F.length("norm") > 0)
+        .select("doc_id", "toks")
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+            ).alias("chunk_idx", "start_tok"),
+        )
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(window), F.size("toks") - F.col("start_tok") + 1)
+        .cast("int")
+        .alias("n_tok"),
+        F.array_join(F.slice("toks", F.col("start_tok"), window), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -273,6 +273,7 @@ def main() -> None:
         "overlap_bottomk": _text.overlap_bottomk,
         "funnel_stages": _events.funnel_stages,
         "sample_weighted": _text.sample_weighted,
+        "chunk_sliding": _text.chunk_sliding,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -346,6 +346,14 @@ NOTES = {
         "partitions rows to the driver. Salt-rekeyable for independent "
         "draws; P(i before j) = w_i/(w_i+w_j) exactly."
     ),
+    "chunk_sliding": (
+        "Sliding-window RAG chunking as a PURE MAP STAGE: whitespace "
+        "collapse, tokenize, the stride-advancing start sequence, the "
+        "posexplode into chunk rows, and the slice+join chunk assembly "
+        "are all per-row JVM expressions — one Generate, no Exchange. "
+        "Row growth bounded by ceil(n_tok/stride) per doc; pipelines "
+        "straight into the downstream embedder/indexer shuffle."
+    ),
 }
 
 

@@ -1170,3 +1170,52 @@ def test_sample_weighted_no_shuffle_before_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "+- Exchange" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_chunk_sliding_hand_values(spark, tmp_path):
+    """Hand-computed windows on a crafted corpus: starts advance by the
+    stride, the tail chunk keeps the remainder, consecutive chunks
+    overlap by W-S tokens, whitespace is collapsed before tokenizing,
+    and blank docs emit nothing."""
+    from astrospark.ops.text import CHUNK_S, CHUNK_W, chunk_sliding
+
+    long_txt = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    rows = [
+        (1, long_txt, "en", "s", len(long_txt)),
+        (2, "a\tb\n\nc   d", "en", "s", 10),  # collapse -> 4 tokens
+        (3, "   \n ", "en", "s", 5),  # blank: filtered
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.chunk_idx): r for r in chunk_sliding(spark, str(tmp_path)).collect()
+    }
+    # doc 1: starts 1, 49, 97 -> n_tok 64, 52, 4
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert (got[(1, 0)].start_tok, got[(1, 0)].n_tok) == (1, CHUNK_W)
+    assert (got[(1, 1)].start_tok, got[(1, 1)].n_tok) == (1 + CHUNK_S, 52)
+    assert (got[(1, 2)].start_tok, got[(1, 2)].n_tok) == (1 + 2 * CHUNK_S, 4)
+    assert got[(1, 0)].chunk_text == " ".join(f"w{i}" for i in range(64))
+    assert got[(1, 2)].chunk_text == "w96 w97 w98 w99"
+    # overlap: last W-S tokens of chunk 0 == first W-S of chunk 1
+    ov = CHUNK_W - CHUNK_S
+    assert (
+        got[(1, 0)].chunk_text.split(" ")[-ov:]
+        == got[(1, 1)].chunk_text.split(" ")[:ov]
+    )
+    # doc 2: collapsed to one 4-token chunk; doc 3 absent
+    assert got[(2, 0)].chunk_text == "a b c d" and got[(2, 0)].n_tok == 4
+    assert not any(k[0] == 3 for k in got)
+    # every token of every chunk_text counted
+    assert all(len(r.chunk_text.split(" ")) == r.n_tok for r in got.values())
+
+
+def test_chunk_sliding_zero_shuffle_plan(spark):
+    """Pure map stage: one Generate (the window explode), no Exchange."""
+    from astrospark.ops.text import chunk_sliding
+
+    plan = _plan(chunk_sliding(spark, SF))
+    assert "Exchange" not in plan
+    assert plan.count(") Generate") == 1
