@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered funnel signup->click->purchase (single-pass sorted-
         # array fold; oracle replays via chained conditional-min CTEs)
         "funnel_stages": events.funnel_stages,
+        # day-N cohort retention matrix (distinct-first user-days, co-
+        # keyed first-event join, window-derived cohort size)
+        "cohort_retention": events.cohort_retention,
         # exact weighted sampling (min-of-w-uniforms; no RNG, salt-
         # rekeyable; in-row key fold + distributed top-k)
         "sample_weighted": text.sample_weighted,
@@ -1538,6 +1541,18 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN s3 USING (user_id)) "
             "SELECT max_stage, CAST(count(*) AS INT) AS n_users "
             "FROM stage GROUP BY max_stage"
+        ),
+        "cohort_retention": (
+            "WITH e AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id), "
+            "c AS (SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, "
+            "CAST(count(*) AS INT) AS n_active "
+            "FROM e JOIN f USING (user_id) GROUP BY 1, 2) "
+            "SELECT CAST(cohort_day AS INT) AS cohort_day, "
+            "CAST(day_offset AS INT) AS day_offset, n_active, "
+            "round(n_active / max(CASE WHEN day_offset = 0 THEN n_active END) "
+            "OVER (PARTITION BY cohort_day), 4) AS retention FROM c"
         ),
         "overlap_bottomk": (
             "WITH words AS (SELECT DISTINCT source, md5(w) AS h "

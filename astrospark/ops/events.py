@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astrospark.ops.caching import scoped_persist
+
 SESSION_GAP_MIN = 30
 
 
@@ -270,4 +272,57 @@ def funnel_stages(spark, sf_dir) -> DataFrame:
     return (
         per_user.groupBy("max_stage")
         .agg(F.count("*").cast("int").alias("n_users"))
+    )
+
+
+COHORT_DAY_US = 86_400_000_000  # cohort bucket: one day, in microseconds
+
+
+def cohort_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention matrix: bucket each user into the cohort of
+    their FIRST event day, then count users active at each day offset
+    from their cohort and the retained fraction — the standard "day-N
+    retention" table every growth/engagement dashboard runs, here over
+    the events stream.
+
+    Scale shape: (user_id, day) is DISTINCT'd FIRST (one partial-agg
+    shuffle — collapses per-user event bursts before anything else
+    touches them), so every later count is a plain count(*), never an
+    exact countDistinct expand. The first-event aggregation and the
+    activity join share the user_id key; the final aggregation shuffles
+    the tiny (day x offset) space, and the cohort size is read off that
+    SAME frame with a window over cohort_day (every cohort has its
+    offset-0 row by construction) — no extra join. The distinct
+    user-day frame feeds both the join and the first-event aggregation,
+    so it is scoped-persisted: the events scan + burst collapse run
+    ONCE (plan-pinned single parquet scan), not once per consumer.
+    Retention = n_active / cohort_size on identical integers, so
+    round(x, 4) replays bit-exact in the DuckDB oracle.
+    """
+    e = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {COHORT_DAY_US}"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    e = scoped_persist(e)
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(first, "user_id")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("int").alias("n_active"))
+    )
+    cohort_size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_day"))
+    return act.select(
+        F.col("cohort_day").cast("int").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        F.round(F.col("n_active") / cohort_size, 4).alias("retention"),
     )

@@ -274,6 +274,7 @@ def main() -> None:
         "funnel_stages": _events.funnel_stages,
         "sample_weighted": _text.sample_weighted,
         "chunk_sliding": _text.chunk_sliding,
+        "cohort_retention": _events.cohort_retention,
     }.items():
         rs = []
         for _ in range(REPEATS):

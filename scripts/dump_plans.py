@@ -354,6 +354,14 @@ NOTES = {
         "Row growth bounded by ceil(n_tok/stride) per doc; pipelines "
         "straight into the downstream embedder/indexer shuffle."
     ),
+    "cohort_retention": (
+        "Day-N retention matrix with NO countDistinct Expand: "
+        "(user_id, day) is distinct'd first (burst collapse), persisted "
+        "once for both consumers (single parquet scan), the first-event "
+        "agg and activity join share the user_id key, and cohort size "
+        "is a window over the tiny aggregated (day x offset) frame — "
+        "no second scan, no extra join."
+    ),
 }
 
 

@@ -267,3 +267,59 @@ def test_funnel_single_aggregation_pass(spark):
     # exchanges = user agg + the 4-row stage rollup
     assert plan.count("+- Exchange") <= 2, plan[:400]
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cohort_retention_hand_matrix(spark, tmp_path):
+    """Hand-built cohort matrix: cohort = first event day, offsets count
+    DISTINCT active users (same-day bursts collapse), retention =
+    n_active / cohort size."""
+    from datetime import datetime, timedelta, timezone
+
+    from astrospark.ops.events import COHORT_DAY_US, cohort_retention
+
+    base = datetime(2024, 3, 1)
+    # NTZ values are bucketed as-UTC (the session TZ); mirror that here
+    # regardless of the host's local timezone
+    day0 = (
+        int(base.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+    ) // COHORT_DAY_US
+
+    def ev(i, u, day, hour=1):
+        return (i, base + timedelta(days=day, hours=hour), u, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 0, hour=5),  # burst: one user-day
+        ev(3, 1, 1), ev(4, 1, 3),
+        ev(5, 2, 0), ev(6, 2, 1),
+        ev(7, 3, 1),  # later cohort
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_active, r.retention)
+        for r in cohort_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (day0, 0): (2, 1.0),
+        (day0, 1): (2, 1.0),
+        (day0, 3): (1, 0.5),
+        (day0 + 1, 0): (1, 1.0),
+    }
+
+
+def test_cohort_retention_plan_no_distinct_expand(spark):
+    """Plan shape: the up-front (user_id, day) distinct means NO exact
+    countDistinct Expand anywhere, the activity join is the only join,
+    and the cohort size comes from a window — not a second events scan."""
+    from astrospark.ops.events import cohort_retention
+
+    plan = _plan(cohort_retention(spark, SF))
+    assert ") Expand" not in plan
+    # one parquet scan node (formatted explain prints "(N) Scan parquet"
+    # once per node): the persisted distinct frame serves both consumers
+    assert plan.count(") Scan parquet") == 1
+    assert plan.count(") InMemoryTableScan") == 2
