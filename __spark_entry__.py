@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # day-N cohort retention matrix (distinct-first user-days, co-
         # keyed first-event join, window-derived cohort size)
         "cohort_retention": events.cohort_retention,
+        # wide lang-per-source matrix via pinned-values pivot (no
+        # discovery job; tiny cell shuffles)
+        "lang_source_pivot": text.lang_source_pivot,
+        # contiguous 0..N-1 ids without a single-partition global sort
+        # (range repartition + offset broadcast; bounded driver metadata)
+        "contiguous_ids": layout.contiguous_ids,
         # exact weighted sampling (min-of-w-uniforms; no RNG, salt-
         # rekeyable; in-row key fold + distributed top-k)
         "sample_weighted": text.sample_weighted,
@@ -1511,6 +1517,19 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, min(w) AS w, "
             "min(md5(doc_id || ':' || rep || ':')) AS wkey FROM r GROUP BY doc_id) "
             "SELECT doc_id, w, wkey FROM k ORDER BY wkey, doc_id LIMIT 100"
+        ),
+        "contiguous_ids": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+            "AS seq FROM documents"
+        ),
+        "lang_source_pivot": (
+            "SELECT source, "
+            "CAST(count(*) FILTER (WHERE lang = 'de') AS INT) AS n_de, "
+            "CAST(count(*) FILTER (WHERE lang = 'en') AS INT) AS n_en, "
+            "CAST(count(*) FILTER (WHERE lang = 'es') AS INT) AS n_es, "
+            "CAST(count(*) FILTER (WHERE lang = 'fr') AS INT) AS n_fr, "
+            "CAST(count(*) FILTER (WHERE lang = 'zh') AS INT) AS n_zh "
+            "FROM documents GROUP BY source"
         ),
         "chunk_sliding": (
             r"WITH t AS (SELECT doc_id, "

@@ -19,7 +19,7 @@ the whole computation is JVM-side codegen, no UDF anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ZORDER_BITS = 16  # per-dimension; the interleaved key fits in 32 bits
@@ -252,3 +252,65 @@ def footer_stats(spark: SparkSession, path: str, col: str) -> dict:
         "max": row["mx"],
         "pushed": "PushedAggregation: [" in plan and "COUNT(*)" in plan,
     }
+
+
+def assign_contiguous_ids(
+    df: DataFrame, order_col: str, n_parts: int | None = None
+) -> DataFrame:
+    """Contiguous 0..N-1 ids in ``order_col`` order WITHOUT the global
+    single-partition sort — the example-numbering primitive every
+    training-data pipeline needs (stable sample ids, shard manifests),
+    where the naive ``row_number() OVER (ORDER BY ...)`` plans an
+    Exchange SinglePartition and funnels 100 TB through one task.
+
+    Three bounded steps instead: (1) range-repartition + local sort on
+    the order column (the partition INDEX is then ordinal in range
+    order); (2) per-partition row counts — n_parts rows to the driver,
+    bounded metadata like the checkpoint commit reads, never data —
+    prefix-summed into per-partition offsets; (3) broadcast the offset
+    table back and add it to the per-partition local row_number. The
+    local window partitions by the range-partition id, so its exchange
+    moves each partition as a unit and parallelism is preserved;
+    nothing ever serializes through one task. The result equals the
+    global rank by ``order_col`` regardless of where the range sampler
+    places boundaries (unique order keys make rank boundary-
+    independent), which is what lets a DuckDB row_number() oracle
+    value-check it. Returns the input columns plus ``seq`` (long).
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from astrospark.ops.caching import scoped_persist
+
+    ranged = scoped_persist(
+        df.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    odf = spark.createDataFrame(offsets, "_pid int, _offset long")
+    local = (
+        F.row_number().over(Window.partitionBy("_pid").orderBy(order_col)) - 1
+    )
+    return (
+        ranged.withColumn("_local", local.cast("long"))
+        .join(F.broadcast(odf), "_pid")
+        .withColumn("seq", F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row: contiguous ids over documents in doc_id order —
+    equals row_number() OVER (ORDER BY doc_id) - 1 but computed with
+    assign_contiguous_ids' bounded three-step plan (no Exchange
+    SinglePartition anywhere; plan-pinned)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_contiguous_ids(d, "doc_id").select("doc_id", "seq")

@@ -1464,3 +1464,36 @@ def chunk_sliding(
             "chunk_text"
         ),
     )
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_source_pivot(spark, sf_dir) -> DataFrame:
+    """Wide lang-per-source matrix via DataFrame pivot — the reshape
+    every corpus-composition dashboard wants (one row per source, one
+    column per language, counts in the cells).
+
+    Scale shape: the pivot value list is PINNED (PIVOT_LANGS), so Spark
+    skips the extra values-discovery job an unpinned pivot runs (a full
+    distinct over the pivot column — a whole corpus scan at 100 TB).
+    The plan is two map-side-combined aggregations: a (source, lang)
+    cell count whose shuffle carries at most sources x |langs| cells,
+    then pivot_first over the already-tiny cell frame. Unseen combos
+    coalesce to 0 so the frame is dense and NULL-free; the DuckDB
+    oracle is the classic conditional-aggregation spelling
+    (count(*) FILTER (WHERE lang = ...)), value-identical.
+    """
+    p = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .count()
+    )
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("int").alias(f"n_{lang}")
+            for lang in PIVOT_LANGS
+        ],
+    )

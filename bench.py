@@ -275,6 +275,8 @@ def main() -> None:
         "sample_weighted": _text.sample_weighted,
         "chunk_sliding": _text.chunk_sliding,
         "cohort_retention": _events.cohort_retention,
+        "lang_source_pivot": _text.lang_source_pivot,
+        "contiguous_ids": _layout.contiguous_ids,
     }.items():
         rs = []
         for _ in range(REPEATS):

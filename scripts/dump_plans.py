@@ -362,6 +362,20 @@ NOTES = {
         "is a window over the tiny aggregated (day x offset) frame — "
         "no second scan, no extra join."
     ),
+    "lang_source_pivot": (
+        "Pinned-values pivot: no values-discovery job (an unpinned "
+        "pivot first runs a full distinct over the pivot column), and "
+        "both aggregations are map-side combined — the shuffles carry "
+        "at most sources x |langs| cells. Dense zero-filled output."
+    ),
+    "contiguous_ids": (
+        "Contiguous 0..N-1 ids WITHOUT Exchange SinglePartition (the "
+        "naive global row_number's one-task funnel): range repartition "
+        "establishes order, per-partition counts (bounded driver "
+        "metadata, n_parts rows) prefix-sum into offsets, and the "
+        "offset table broadcasts back onto per-partition row_numbers. "
+        "Result is boundary-independent for unique keys."
+    ),
 }
 
 

@@ -5,11 +5,20 @@ their sort dimension (the curve's worst single-dim overlap must beat
 the single sort's)."""
 
 import glob
+import io
+from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 N_FILES = 16
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def _interleave(a: int, b: int, bits: int = 16) -> int:
@@ -174,3 +183,42 @@ def test_footer_stats_pushed_and_exact(spark):
     plain = spark.read.parquet(path).agg(F.count("*").alias("n"))
     plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan and "PushedAggregation" not in plan
+
+
+def test_contiguous_ids_exact_and_invariant(spark, tmp_path):
+    """seq equals the global rank by doc_id for any partition count
+    (including empty range partitions), and for any physical input
+    layout — the boundary-independence claim."""
+    from astrospark.ops.layout import assign_contiguous_ids
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    ids = sorted(r.doc_id for r in d.collect())
+    expected = sorted((doc, i) for i, doc in enumerate(ids))
+
+    for n_parts in (4, 64):
+        got = sorted(
+            (r.doc_id, r.seq)
+            for r in assign_contiguous_ids(d, "doc_id", n_parts).collect()
+        )
+        assert got == expected, n_parts
+
+    # physical reshard of the input must not change a single id
+    d.repartition(7).write.parquet(str(tmp_path / "documents.parquet"))
+    d7 = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.doc_id, r.seq) for r in assign_contiguous_ids(d7, "doc_id").collect()
+    )
+    assert got == expected
+
+
+def test_contiguous_ids_no_single_partition_plan(spark):
+    """The point of the op: NO Exchange SinglePartition anywhere (the
+    naive global row_number funnels everything through one task); the
+    order is established by rangepartitioning and the offset table
+    joins via broadcast."""
+    from astrospark.ops.layout import contiguous_ids
+
+    plan = _plan(contiguous_ids(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan

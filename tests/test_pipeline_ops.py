@@ -1219,3 +1219,25 @@ def test_chunk_sliding_zero_shuffle_plan(spark):
     plan = _plan(chunk_sliding(spark, SF))
     assert "Exchange" not in plan
     assert plan.count(") Generate") == 1
+
+
+def test_lang_source_pivot_hand_values(spark, tmp_path):
+    """Pivot cells match hand counts, unseen (source, lang) combos are
+    dense zeros, and the pinned value list means no discovery job (no
+    extra scan: exactly one parquet scan node in the plan)."""
+    from astrospark.ops.text import lang_source_pivot
+
+    rows = [
+        (1, "t", "en", "a", 1), (2, "t", "en", "a", 1), (3, "t", "de", "a", 1),
+        (4, "t", "zh", "b", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.source: r for r in lang_source_pivot(spark, str(tmp_path)).collect()}
+    assert (got["a"].n_en, got["a"].n_de, got["a"].n_zh, got["a"].n_fr) == (2, 1, 0, 0)
+    assert (got["b"].n_zh, got["b"].n_en) == (1, 0)
+
+    plan = _plan(lang_source_pivot(spark, SF))
+    assert plan.count(") Scan parquet") == 1
