@@ -222,3 +222,47 @@ def test_contiguous_ids_no_single_partition_plan(spark):
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cost_balanced_repartition_bounds_skew(spark):
+    """Pathological corpus: one row of weight 10000 among 999 rows of
+    weight 10. Equal-ROW partitioning leaves the giant's partition ~4x
+    over mean load; cost-balanced partitioning bounds every partition
+    at target + max_single_weight (row-atomic optimum), preserves the
+    row multiset, and plans no SinglePartition stage."""
+    from pyspark.sql import functions as F2
+
+    from astrospark.ops.layout import cost_balanced_repartition
+
+    n_parts = 8
+    rows = [(0, 10000)] + [(i, 10) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    out = cost_balanced_repartition(df, "w", "doc_id", n_parts)
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
+
+    loads = [
+        r.load
+        for r in out.withColumn("_p", F2.spark_partition_id())
+        .groupBy("_p")
+        .agg(F2.sum("w").alias("load"))
+        .collect()
+    ]
+    total = 10000 + 999 * 10
+    target = -(-total // n_parts)
+    assert max(loads) <= target + 10000
+    # the tiny rows spread evenly: every OTHER partition is near target
+    assert sorted(loads)[-2] <= target + 10
+
+    # naive equal-row partitioning for contrast: giant + its row-share
+    naive = (
+        df.repartition(n_parts)
+        .withColumn("_p", F2.spark_partition_id())
+        .groupBy("_p")
+        .agg(F2.sum("w").alias("load"))
+        .collect()
+    )
+    assert max(r.load for r in naive) >= 10000 + 10  # giant never alone
+
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
