@@ -1533,8 +1533,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_sliding": (
             r"WITH t AS (SELECT doc_id, "
-            r"string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks "
-            r"FROM documents WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0), "
+            r"string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ') AS toks "
+            r"FROM documents WHERE length(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) > 0), "
             "s AS (SELECT doc_id, toks, "
             "unnest(generate_series(1, len(toks), 48)) AS start_tok FROM t) "
             "SELECT doc_id, CAST((start_tok - 1) // 48 AS INT) AS chunk_idx, "

@@ -1438,7 +1438,9 @@ def chunk_sliding(
     (start_tok - 1) // stride in both engines.
     """
     d = _docs(spark, sf_dir)
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # explicit class, not \s: Java's \s matches \x0B, RE2's does not —
+    # the one shorthand divergence that would break the oracle replay
+    norm = F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\f\r]+", " "))
     e = (
         d.select("doc_id", F.split(norm, " ").alias("toks"), norm.alias("norm"))
         # trim strips only 0x20 in both engines, so filter the COLLAPSED

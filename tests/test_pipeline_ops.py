@@ -1241,3 +1241,65 @@ def test_lang_source_pivot_hand_values(spark, tmp_path):
 
     plan = _plan(lang_source_pivot(spark, SF))
     assert plan.count(") Scan parquet") == 1
+
+
+def test_chunk_sliding_reconstruction_property(spark, tmp_path):
+    """Structural invariants on every boundary size around the window
+    and stride: concatenating each chunk's first STRIDE tokens (full
+    last chunk verbatim) reconstructs the token sequence exactly; chunk
+    count is ceil(n / stride); no chunk exceeds the window."""
+    from astrospark.ops.text import CHUNK_S, CHUNK_W, chunk_sliding
+
+    sizes = [1, 2, CHUNK_S - 1, CHUNK_S, CHUNK_S + 1, CHUNK_W - 1, CHUNK_W,
+             CHUNK_W + 1, 2 * CHUNK_S, 2 * CHUNK_S + 1, 3 * CHUNK_W + 7, 200]
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n)), "en", "s", n)
+        for i, n in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    by_doc = {}
+    for r in chunk_sliding(spark, str(tmp_path)).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == -(-n // CHUNK_S), (i, n)
+        assert all(c.n_tok <= CHUNK_W for c in chunks)
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:CHUNK_S])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == [f"d{i}t{j}" for j in range(n)], (i, n)
+
+
+def test_chunk_sliding_vtab_cross_engine(spark, tmp_path):
+    """Regression for the one \\s shorthand divergence: Java's \\s
+    matches \\x0B, RE2's does not, so the op pins the explicit class
+    [ \\t\\n\\f\\r]. A corpus salted with vertical tabs, NBSP, and the
+    full common-class whitespace must replay identically in DuckDB."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "a\x0bb c", "en", "s", 6),       # vtab glues a-b in BOTH engines
+        (2, "x y z", "en", "s", 6),     # NBSP is not whitespace in either
+        (3, "p \t\n\f\r q", "en", "s", 8),   # the full pinned class collapses
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        map(tuple, E.queries()["chunk_sliding"](spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(E.oracle_sql()["chunk_sliding"]).fetchall()))
+    assert got == want
+    texts = {r[0]: r[4] for r in got}
+    assert texts[1] == "a\x0bb c" and texts[2] == "x y z" and texts[3] == "p q"
