@@ -190,6 +190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAG-style sliding-window chunking (overlapping token windows;
         # zero-shuffle map stage, the complement of pack_sequences)
         "chunk_sliding": text.chunk_sliding,
+        # exact Levenshtein verify of simhash candidates (banded Ukkonen
+        # DP on candidate pairs only; kills bag-of-words false positives)
+        "dedup_edit_verify": lambda spark, sf_dir: dedup.dedup_edit_verify(
+            spark, sf_dir, max_bucket=None
+        ),
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1195,6 +1200,25 @@ def _simhash64_pairs_sql() -> str:
     )
 
 
+def _edit_verify_sql() -> str:
+    """simhash64 candidates + exact levenshtein verify. DuckDB's
+    levenshtein counts byte edits vs Spark's codepoints — identical on
+    the pure-ASCII contract corpus (asserted in ops/dedup.py docstring);
+    integer sim_q arithmetic replays via `//` == Spark `DIV`."""
+    from astrospark.ops.dedup import EDIT_MAX_DIST, EDIT_SIM_SCALE
+
+    return (
+        "WITH sp AS (" + _simhash64_pairs_sql() + ") "
+        "SELECT sp.doc_a, sp.doc_b, "
+        "CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist, "
+        f"CAST({EDIT_SIM_SCALE} - ({EDIT_SIM_SCALE} * levenshtein(a.text, b.text)) "
+        "// greatest(length(a.text), length(b.text)) AS INT) AS sim_q "
+        "FROM sp JOIN documents a ON a.doc_id = sp.doc_a "
+        "JOIN documents b ON b.doc_id = sp.doc_b "
+        f"WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}"
+    )
+
+
 def _kmeans_cell_ctes() -> list[str]:
     """CTE prefix replaying the deterministic Lloyd k-means (KM_ITERS
     unrolled fixed steps) down to `cell AS (vec_id, cid)` — every
@@ -1704,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_banded": _rp_neardup_sql(),
         "knn_join": _knn_join_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
+        "dedup_edit_verify": _edit_verify_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -782,3 +782,91 @@ def screen_batch(
         .cast("int")
         .alias("is_dup"),
     )
+
+# --- exact edit-distance verification of candidate pairs -------------------
+
+EDIT_MAX_DIST = 32     # verify band: pairs farther than this are rejected
+EDIT_SIM_SCALE = 10_000
+
+
+def edit_verify_pairs(
+    docs: DataFrame, pairs: DataFrame, max_dist: int = EDIT_MAX_DIST
+) -> DataFrame:
+    """Exact Levenshtein verification of candidate near-dup pairs.
+
+    Every approximate candidate generator in this module admits false
+    positives the verify stage must kill — SimHash most visibly: the
+    fingerprint is a bag-of-words sum (order-invariant), so two documents
+    with the SAME words in a DIFFERENT order collide at hamming 0 while
+    being nothing alike as strings. Edit distance is the exact
+    string-level referee.
+
+    Scale shape: the O(len_a x len_b) DP runs ONLY on candidate pairs
+    (bounded by the banding stage's bucket caps), never all-pairs, and
+    the ``max_dist`` threshold engages Spark's banded Ukkonen DP
+    (``levenshtein(l, r, threshold)`` — O(max_dist x len) per pair,
+    early-exit -1 beyond the band), so a colliding pair of two 1 MB
+    documents costs 32 x 10^6 cells, not 10^12. Both texts reach the
+    verifier through doc_id equi-joins against the corpus (co-located
+    when the corpus is bucketed by doc_id).
+
+    Output per surviving pair: the exact distance and an integer
+    similarity ``sim_q = EDIT_SIM_SCALE - (EDIT_SIM_SCALE * dist) div
+    max(len_a, len_b)`` (exact integer arithmetic — Spark ``div`` ==
+    DuckDB ``//`` for non-negative operands — so the DuckDB oracle
+    replays every value bit-for-bit).
+
+    Encoding caveat (measured): Spark's levenshtein counts CODEPOINT
+    edits, DuckDB's counts BYTE edits ('héllo wörld' vs 'hello world' =
+    2 vs 4) — the library semantic is Spark's; the oracle replay is
+    exact because the contract corpus is pure ASCII (asserted at every
+    SF), where the two coincide.
+    """
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.length("text").alias("len_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.length("text").alias("len_b"),
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_dist", F.levenshtein("text_a", "text_b", max_dist)
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+            F.expr(
+                f"CAST({EDIT_SIM_SCALE} - ({EDIT_SIM_SCALE}L * edit_dist)"
+                " DIV greatest(len_a, len_b) AS INT)"
+            ).alias("sim_q"),
+        )
+    )
+
+
+def dedup_edit_verify(
+    spark,
+    sf_dir,
+    max_dist: int = EDIT_MAX_DIST,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """SimHash banding -> exact edit-distance verify, composed end-to-end:
+    candidates from ``dedup_simhash_pairs`` (64-bit banded fingerprints,
+    hamming <= 3), each surviving pair confirmed by ``edit_verify_pairs``
+    within ``max_dist`` edits. The contract pins ``max_bucket=None`` so
+    the DuckDB oracle (the simhash64 CTE chain + ``levenshtein``) replays
+    the identical candidate set; the library default keeps buckets
+    bounded exactly like the generator itself.
+    """
+    d = _docs(spark, sf_dir)
+    cand = dedup_simhash_pairs(spark, sf_dir, max_bucket=max_bucket).select(
+        "doc_a", "doc_b"
+    )
+    return edit_verify_pairs(d, cand, max_dist=max_dist)

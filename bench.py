@@ -277,6 +277,7 @@ def main() -> None:
         "cohort_retention": _events.cohort_retention,
         "lang_source_pivot": _text.lang_source_pivot,
         "contiguous_ids": _layout.contiguous_ids,
+        "dedup_edit_verify": _dedup.dedup_edit_verify,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -354,6 +354,15 @@ NOTES = {
         "Row growth bounded by ceil(n_tok/stride) per doc; pipelines "
         "straight into the downstream embedder/indexer shuffle."
     ),
+    "dedup_edit_verify": (
+        "Exact Levenshtein verify of simhash candidates: the O(len^2) "
+        "DP runs ONLY on banding-stage candidate pairs (bucket-capped), "
+        "never all-pairs, and the threshold engages Spark's banded "
+        "Ukkonen DP (O(max_dist x len) per pair, early-exit -1). Texts "
+        "arrive via doc_id equi-joins (co-located under doc_id "
+        "bucketing). Kills the bag-of-words false-positive class the "
+        "order-invariant fingerprint admits."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

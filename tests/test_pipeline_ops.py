@@ -1303,3 +1303,106 @@ def test_chunk_sliding_vtab_cross_engine(spark, tmp_path):
     assert got == want
     texts = {r[0]: r[4] for r in got}
     assert texts[1] == "a\x0bb c" and texts[2] == "x y z" and texts[3] == "p q"
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic full-matrix Levenshtein (independent scalar referee)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_verify_scalar_replay(spark):
+    """edit_verify_pairs values vs an independent DP replay: exact
+    distance for pairs within the band, rejection beyond it, and the
+    integer sim_q arithmetic."""
+    from astrospark.ops.dedup import (
+        EDIT_MAX_DIST,
+        EDIT_SIM_SCALE,
+        edit_verify_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumped over the lazy dog",   # dist 2
+        3: "dog lazy the over jumps fox brown quick the",    # reordered
+        4: "a completely different document about spark partitions",
+        5: "the quick brown fox jumps over the lazy dot",    # dist 1
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.edit_dist, r.sim_q)
+        for r in edit_verify_pairs(docs, cand).collect()
+    }
+    expected = {}
+    for a, b in [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5)]:
+        d = _lev(texts[a], texts[b])
+        if d <= EDIT_MAX_DIST:
+            lm = max(len(texts[a]), len(texts[b]))
+            expected[(a, b)] = (d, EDIT_SIM_SCALE - EDIT_SIM_SCALE * d // lm)
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)][0] == 2
+    assert (1, 5) in got and got[(1, 5)][0] == 1
+    # beyond-band pairs rejected (threshold DP returns -1 -> filtered)
+    assert (1, 4) not in got
+
+
+def test_edit_verify_kills_reordered_simhash_collision(spark):
+    """SimHash is a bag-of-words sum — word-reordered docs collide at
+    hamming 0 while being far apart as strings. The verify stage must
+    admit the true near-dup and kill the reordering false positive."""
+    from astrospark.ops.dedup import (
+        _simhash64_bands,
+        SIMHASH64_BANDS,
+        edit_verify_pairs,
+    )
+
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+        "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi",
+        "omega", "quark", "lepton", "boson", "gluon", "photon", "meson",
+    ]
+    base = " ".join(words)
+    texts = {
+        1: base,
+        2: " ".join(reversed(words)),  # same bag, reversed order
+        3: base + " x",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    sig = {r.doc_id: [r[f"band_{b}"] for b in range(SIMHASH64_BANDS)]
+           for r in _simhash64_bands(docs).collect()}
+    assert sig[1] == sig[2]  # the order-invariance false positive, live
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    got = {(r.doc_a, r.doc_b): r.edit_dist
+           for r in edit_verify_pairs(docs, cand).collect()}
+    assert (1, 3) in got and got[(1, 3)] == 2  # " x" append = 2 edits
+    assert (1, 2) not in got  # reordered bag-of-words pair killed
+
+
+def test_edit_verify_contract_corpus_is_ascii(spark):
+    """The DuckDB oracle's levenshtein counts BYTE edits vs Spark's
+    codepoints; the contract replay is exact because the corpus is pure
+    ASCII — pin that precondition so a future fixture change fails
+    loudly here instead of hash-mismatching in the driver."""
+    from pyspark.sql import functions as F
+
+    n = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(~F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+    )
+    assert n == 0
