@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_verify": lambda spark, sf_dir: dedup.dedup_edit_verify(
             spark, sf_dir, max_bucket=None
         ),
+        # EXACT set-similarity self-join via lossless prefix filtering
+        # (the deterministic counterpart of the MinHash approximation)
+        "ssjoin_prefix": dedup.ssjoin_prefix,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1200,6 +1203,38 @@ def _simhash64_pairs_sql() -> str:
     )
 
 
+def _ssjoin_prefix_sql() -> str:
+    """Replays the prefix-filtered exact set-similarity join: the same
+    df-ascending global order, ceil via integer (7*sz+9)//10, prefix ⋈
+    full-shingle candidate join, and integer verify arithmetic. The
+    filter's LOSSLESSNESS (prefix join == all-pairs) is proven
+    separately against a brute-force referee in tests."""
+    from astrospark.ops.dedup import SSJOIN_SCALE, SSJOIN_TAU_DEN, SSJOIN_TAU_NUM
+
+    tn, td, sc = SSJOIN_TAU_NUM, SSJOIN_TAU_DEN, SSJOIN_SCALE
+    iexpr = "len(list_intersect(a.toks, b.toks))"
+    uexpr = f"(a.sz + b.sz - {iexpr})"
+    return (
+        "WITH " + _SHINGLE_CTE + ", "
+        "sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), "
+        "ord AS (SELECT sh.doc_id, sh.shingle, "
+        "row_number() OVER (PARTITION BY sh.doc_id ORDER BY sdf.df, sh.shingle) AS rn, "
+        "count(*) OVER (PARTITION BY sh.doc_id) AS sz "
+        "FROM sh JOIN sdf USING (shingle)), "
+        f"pref AS (SELECT doc_id, shingle FROM ord WHERE rn <= sz - ({tn} * sz + {td - 1}) // {td} + 1), "
+        "cand AS (SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a, "
+        "greatest(p.doc_id, t.doc_id) AS doc_b "
+        "FROM pref p JOIN sh t USING (shingle) WHERE p.doc_id <> t.doc_id), "
+        "sets AS (SELECT doc_id, list(shingle ORDER BY shingle) AS toks, "
+        "count(*) AS sz FROM sh GROUP BY doc_id) "
+        f"SELECT doc_a, doc_b, CAST({iexpr} AS INT) AS n_inter, "
+        f"CAST({uexpr} AS INT) AS n_union, "
+        f"CAST({sc} * {iexpr} // {uexpr} AS INT) AS jac_q "
+        "FROM cand JOIN sets a ON a.doc_id = doc_a JOIN sets b ON b.doc_id = doc_b "
+        f"WHERE {td} * {iexpr} >= {tn} * {uexpr}"
+    )
+
+
 def _edit_verify_sql() -> str:
     """simhash64 candidates + exact levenshtein verify. DuckDB's
     levenshtein counts byte edits vs Spark's codepoints — identical on
@@ -1729,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "dedup_edit_verify": _edit_verify_sql(),
+        "ssjoin_prefix": _ssjoin_prefix_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

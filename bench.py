@@ -278,6 +278,7 @@ def main() -> None:
         "lang_source_pivot": _text.lang_source_pivot,
         "contiguous_ids": _layout.contiguous_ids,
         "dedup_edit_verify": _dedup.dedup_edit_verify,
+        "ssjoin_prefix": _dedup.ssjoin_prefix,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -363,6 +363,16 @@ NOTES = {
         "bucketing). Kills the bag-of-words false-positive class the "
         "order-invariant fingerprint admits."
     ),
+    "ssjoin_prefix": (
+        "EXACT set-similarity join, losslessly prefix-filtered: each "
+        "doc joins only its (1-tau)|x|+1 globally-RAREST shingles "
+        "against posting lists, so candidate volume concentrates on "
+        "low-df keys by construction (the rarity ordering is the skew "
+        "defense). One distinct-shingle shuffle reused for df counts, "
+        "prefixes, and verify arrays; verify is exact integer "
+        "arithmetic on candidates only. No recall knob — the filter is "
+        "proven equal to brute-force all-pairs by test."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

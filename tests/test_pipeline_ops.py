@@ -1406,3 +1406,90 @@ def test_edit_verify_contract_corpus_is_ascii(spark):
         .count()
     )
     assert n == 0
+
+
+def _brute_ssjoin(texts: dict, n=3):
+    """Brute-force all-pairs exact Jaccard referee (no filtering)."""
+    from itertools import combinations
+
+    from astrospark.ops.dedup import (
+        SSJOIN_SCALE,
+        SSJOIN_TAU_DEN,
+        SSJOIN_TAU_NUM,
+    )
+
+    sets = {}
+    for k, t in texts.items():
+        ws = t.split(" ")
+        sets[k] = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i * SSJOIN_TAU_DEN >= u * SSJOIN_TAU_NUM:
+            out[(a, b)] = (i, u, SSJOIN_SCALE * i // u)
+    return out
+
+
+def test_ssjoin_prefix_equals_bruteforce_on_corpus(spark):
+    """LOSSLESSNESS on the real corpus: the prefix-filtered join must
+    return exactly the brute-force all-pairs answer — same pairs, same
+    intersection/union counts, same quantized Jaccard."""
+    from astrospark.ops.dedup import ssjoin_prefix
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union, r.jac_q)
+        for r in ssjoin_prefix(spark, SF).collect()
+    }
+    expected = _brute_ssjoin(texts)
+    assert got == expected
+    assert len(got) > 0  # planted near-dups qualify at tau=0.7
+
+
+def test_ssjoin_prefix_boundary_pairs(spark, tmp_path):
+    """Adversarial threshold boundary: J exactly at tau kept, J just
+    below dropped — incl. asymmetric set sizes where the per-set prefix
+    length differs. 3-shingles of k+2 words give k-element sets."""
+    from astrospark.ops.dedup import ssjoin_prefix
+
+    w = [f"w{i:02d}" for i in range(40)]
+    texts = {
+        # |A|=|B|=10 shingle sets sharing 9 elements in a single run:
+        # docs differ only in the last word -> I=9? construct via common
+        # 11-word prefix (9 shared shingles) + divergent tail words.
+        1: " ".join(w[0:12]),                      # shingles w0..w9 starts (10)
+        2: " ".join(w[0:11] + ["zz"]),             # 9 shared + 1 own
+        # J = 9/11 = 0.818 >= 0.7 -> kept
+        3: " ".join(w[20:28]),                     # 6-element set, disjoint
+        4: " ".join(w[20:26] + ["qq", "rr"]),      # shares 4 of 6
+        # I=4, U=8, J=0.5 < 0.7 -> dropped
+    }
+    df = spark.createDataFrame(
+        [(k, v, "en", "src") for k, v in texts.items()],
+        ["doc_id", "text", "lang", "source"],
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union, r.jac_q)
+        for r in ssjoin_prefix(spark, d).collect()
+    }
+    assert got == _brute_ssjoin(texts)
+    assert (1, 2) in got
+    assert (3, 4) not in got
+
+
+def test_ssjoin_prefix_no_cartesian(spark):
+    """Candidates come from the shingle equi-join; nothing in the plan
+    may fall back to a nested-loop or cartesian product."""
+    from astrospark.ops.dedup import ssjoin_prefix
+
+    plan = _plan(ssjoin_prefix(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
