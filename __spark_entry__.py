@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EXACT set-similarity self-join via lossless prefix filtering
         # (the deterministic counterpart of the MinHash approximation)
         "ssjoin_prefix": dedup.ssjoin_prefix,
+        # per-event trailing-24h RANGE-frame features (two-pointer
+        # sliding frame, one user_id exchange, exact integer cents)
+        "trailing_window_agg": events.trailing_window_agg,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1235,6 +1238,24 @@ def _ssjoin_prefix_sql() -> str:
     )
 
 
+def _trailing_window_sql() -> str:
+    """ANSI RANGE frame replay: both engines include all peer rows of
+    an equal order key, and the session-TZ offset in the integer time
+    key cancels inside the frame bound (no absolute time emitted)."""
+    from astrospark.ops.events import TRAIL_BURST_N, TRAIL_WINDOW_US
+
+    return (
+        "WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(count(*) OVER w AS INT) AS n_trail_1d, "
+        "sum(cents) OVER w AS cents_trail_1d, "
+        f"CAST(count(*) OVER w >= {TRAIL_BURST_N} AS INT) AS is_burst "
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t_us "
+        f"RANGE BETWEEN {TRAIL_WINDOW_US} PRECEDING AND CURRENT ROW)"
+    )
+
+
 def _edit_verify_sql() -> str:
     """simhash64 candidates + exact levenshtein verify. DuckDB's
     levenshtein counts byte edits vs Spark's codepoints — identical on
@@ -1765,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "dedup_edit_verify": _edit_verify_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
+        "trailing_window_agg": _trailing_window_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

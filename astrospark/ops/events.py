@@ -326,3 +326,52 @@ def cohort_retention(spark, sf_dir) -> DataFrame:
         "n_active",
         F.round(F.col("n_active") / cohort_size, 4).alias("retention"),
     )
+
+
+# --- trailing RANGE-frame window features -----------------------------------
+
+TRAIL_WINDOW_US = 86_400_000_000  # trailing 24 h, in microseconds
+TRAIL_BURST_N = 4                 # events in-window at/above which = burst
+
+
+def trailing_window_agg(spark, sf_dir) -> DataFrame:
+    """Per-event trailing-24h activity features over each user's event
+    stream — the sliding RANGE-frame family (velocity / rate-limit /
+    fraud features: "how many events, and how much value, did this user
+    produce in the day ENDING at this event?"). The tumbling buckets of
+    w1_event_windows answer the per-hour rollup; this answers the
+    per-EVENT question, where every row gets its own look-back frame.
+
+    Scale shape: ONE user_id exchange feeding a spillable window sort;
+    the RANGE frame [t - W, t] evaluates as a sliding two-pointer pass
+    per partition (Spark's bounded-frame WindowExec) — no self-join, no
+    explode, rows never multiply, state is the in-frame aggregate only.
+    Times compare as microsecond integers (unix_micros ≡ DuckDB
+    epoch_us up to a constant session-TZ offset that cancels inside the
+    frame bound; no absolute time is emitted). Peer rows with equal
+    timestamps enter the frame TOGETHER in both engines (RANGE includes
+    all peers — ANSI), so ties need no tie-break column. Value
+    accumulates as exact integer cents (order-free), and the burst flag
+    compares integers — every output replays bit-for-bit in DuckDB's
+    RANGE window.
+    """
+    e = _events(spark, sf_dir)
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-TRAIL_WINDOW_US, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("int").alias("n_trail_1d"),
+        F.sum("cents").over(w).alias("cents_trail_1d"),
+    ).withColumn(
+        "is_burst", (F.col("n_trail_1d") >= TRAIL_BURST_N).cast("int")
+    )

@@ -279,6 +279,7 @@ def main() -> None:
         "contiguous_ids": _layout.contiguous_ids,
         "dedup_edit_verify": _dedup.dedup_edit_verify,
         "ssjoin_prefix": _dedup.ssjoin_prefix,
+        "trailing_window_agg": _events.trailing_window_agg,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -373,6 +373,13 @@ NOTES = {
         "arithmetic on candidates only. No recall knob — the filter is "
         "proven equal to brute-force all-pairs by test."
     ),
+    "trailing_window_agg": (
+        "Per-event trailing-24h RANGE frame: ONE user_id exchange into "
+        "a spillable window sort, then a sliding two-pointer frame pass "
+        "— no self-join, no explode, rows never multiply. Integer "
+        "microsecond keys (TZ offset cancels in the bound), exact-cents "
+        "sums, ANSI peer-row semantics shared with DuckDB."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

@@ -323,3 +323,62 @@ def test_cohort_retention_plan_no_distinct_expand(spark):
     # once per node): the persisted distinct frame serves both consumers
     assert plan.count(") Scan parquet") == 1
     assert plan.count(") InMemoryTableScan") == 2
+
+
+# --- trailing RANGE-frame window --------------------------------------------
+
+
+def test_trailing_window_scalar_replay(spark):
+    """Independent two-pointer replay per user over microsecond ints:
+    per-event trailing-24h count / cents sum / burst flag, inclusive
+    frame, peer rows (equal ts) entering together."""
+    from astrospark.ops.events import (
+        TRAIL_BURST_N,
+        TRAIL_WINDOW_US,
+        trailing_window_agg,
+    )
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.t_us, r.event_id, r.cents))
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        ts = [t for t, _, _ in evs]
+        lo = 0
+        for i, (t, eid, _) in enumerate(evs):
+            while ts[lo] < t - TRAIL_WINDOW_US:
+                lo += 1
+            # RANGE frame: every peer with key <= t, from lo..last peer of t
+            hi = i
+            while hi + 1 < len(evs) and ts[hi + 1] == t:
+                hi += 1
+            n = hi - lo + 1
+            c = sum(cc for _, _, cc in evs[lo : hi + 1])
+            expected[eid] = (uid, n, c, int(n >= TRAIL_BURST_N))
+    got = {
+        r.event_id: (r.user_id, r.n_trail_1d, r.cents_trail_1d, r.is_burst)
+        for r in trailing_window_agg(spark, SF).collect()
+    }
+    assert got == expected
+    flags = {v[3] for v in got.values()}
+    assert flags == {0, 1}  # burst threshold genuinely splits the corpus
+
+
+def test_trailing_window_plan_single_user_exchange(spark):
+    """One user_id hash exchange feeding the window sort; no join, no
+    global range sort, rows never multiply."""
+    from astrospark.ops.events import trailing_window_agg
+
+    plan = _plan(trailing_window_agg(spark, SF))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    # exactly one exchange (formatted explain: ") Name" = one per node),
+    # and it hash-partitions on user_id
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count(") Window") == 1
