@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-event trailing-24h RANGE-frame features (two-pointer
         # sliding frame, one user_id exchange, exact integer cents)
         "trailing_window_agg": events.trailing_window_agg,
+        # degree-oriented triangle counting over the strong co-mention
+        # graph (wedge volume O(m^1.5) regardless of hub skew)
+        "cooccur_triangles": graph.cooccur_triangles,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1238,6 +1241,37 @@ def _ssjoin_prefix_sql() -> str:
     )
 
 
+def _triangles_sql() -> str:
+    """Replays the degree-ordered triangle count: identical above-mean
+    integer edge rule, identical (deg, tok) orientation and wedge
+    ordering, identical closing equi-join — all-integer, value-exact."""
+    return (
+        "WITH tc AS (" + _cooccur_sql() + "), "
+        "st AS (SELECT sum(c_ab) AS s_all, count(*) AS n_edges FROM tc), "
+        "strong AS (SELECT tok_a, tok_b FROM tc, st "
+        "WHERE c_ab * st.n_edges > st.s_all), "
+        "und AS (SELECT tok_a AS tok FROM strong "
+        "UNION ALL SELECT tok_b FROM strong), "
+        "deg AS (SELECT tok, count(*) AS d FROM und GROUP BY tok), "
+        "orient AS (SELECT "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND tok_a < tok_b) "
+        "THEN tok_a ELSE tok_b END AS u, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND tok_a < tok_b) "
+        "THEN tok_b ELSE tok_a END AS v, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND tok_a < tok_b) "
+        "THEN db.d ELSE da.d END AS d_v "
+        "FROM strong JOIN deg da ON da.tok = tok_a "
+        "JOIN deg db ON db.tok = tok_b), "
+        "w AS (SELECT e1.u, e1.v AS x, e2.v AS y "
+        "FROM orient e1 JOIN orient e2 ON e1.u = e2.u "
+        "WHERE (e1.d_v < e2.d_v) OR (e1.d_v = e2.d_v AND e1.v < e2.v)), "
+        "tri AS (SELECT w.u, w.x, w.y FROM w "
+        "JOIN orient c ON c.u = w.x AND c.v = w.y), "
+        "nodes AS (SELECT unnest([u, x, y]) AS tok FROM tri) "
+        "SELECT tok, CAST(count(*) AS INT) AS n_tri FROM nodes GROUP BY tok"
+    )
+
+
 def _trailing_window_sql() -> str:
     """ANSI RANGE frame replay: both engines include all peer rows of
     an equal order key, and the session-TZ offset in the integer time
@@ -1787,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_verify": _edit_verify_sql(),
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "trailing_window_agg": _trailing_window_sql(),
+        "cooccur_triangles": _triangles_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

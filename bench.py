@@ -280,6 +280,7 @@ def main() -> None:
         "dedup_edit_verify": _dedup.dedup_edit_verify,
         "ssjoin_prefix": _dedup.ssjoin_prefix,
         "trailing_window_agg": _events.trailing_window_agg,
+        "cooccur_triangles": _graph.cooccur_triangles,
     }.items():
         rs = []
         for _ in range(REPEATS):

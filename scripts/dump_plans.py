@@ -380,6 +380,15 @@ NOTES = {
         "microsecond keys (TZ offset cancels in the bound), exact-cents "
         "sums, ANSI peer-row semantics shared with DuckDB."
     ),
+    "cooccur_triangles": (
+        "Degree-oriented triangle counting (Cohen / Suri-Vassilvitskii): "
+        "edges orient from the (deg,tok)-smaller endpoint, wedges emit "
+        "only at each edge's SOURCE, one equi-join closes them — wedge "
+        "volume O(m^1.5) regardless of hub skew (an unoriented join "
+        "emits d^2 wedges per hub). Strong-edge selection by the exact "
+        "integer above-mean rule; strong/oriented frames scoped-persist "
+        "for their 3 consumers each."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

@@ -1493,3 +1493,84 @@ def test_ssjoin_prefix_no_cartesian(spark):
     plan = _plan(ssjoin_prefix(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _tri_referee(edges):
+    """Brute-force per-node triangle counts from an undirected edge set."""
+    from collections import Counter
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt: Counter = Counter()
+    seen = set()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for n in t:
+                    cnt[n] += 1
+    return dict(cnt)
+
+
+def test_triangles_bruteforce_replay(spark):
+    """Per-node counts equal a brute-force referee over the same
+    above-mean strong edge set, and the counts are non-degenerate
+    (the raw co-mention graph is near-complete; the strong subgraph
+    must differentiate nodes)."""
+    from astrospark.ops.graph import cooccur_triangles
+    from astrospark.ops.text import token_cooccurrence
+
+    tc = token_cooccurrence(spark, SF).collect()
+    s_all = sum(r.c_ab for r in tc)
+    n_edges = len(tc)
+    strong = [
+        (r.tok_a, r.tok_b) for r in tc if r.c_ab * n_edges > s_all
+    ]
+    expected = _tri_referee(strong)
+    got = {r.tok: r.n_tri for r in cooccur_triangles(spark, SF).collect()}
+    assert got == expected
+    assert len(set(got.values())) > 1  # non-degenerate per-node counts
+
+
+def test_triangles_orientation_counts_each_once(spark, tmp_path):
+    """Hand-built hub graph: the degree orientation must count every
+    triangle exactly once (K4 plus a pendant = 4 triangles, hub in all
+    wedge roles), and wedge emission happens at the (deg,tok)-smallest
+    vertex regardless of label order."""
+    from astrospark.ops.graph import cooccur_triangles
+
+    # docs constructed so the above-mean filter keeps exactly the K4
+    # on {batch, filter, join, stream} + pendant edge (vector-batch):
+    # K4 pairs co-occur in many docs, all other dictionary pairs rarely.
+    k4 = ["batch", "filter", "join", "stream"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(k4), "en", "s"))
+    rows.append((100, "batch vector", "en", "s"))
+    rows.append((101, "spark column window select".replace("select", "row"), "en", "s"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    d = str(tmp_path / "tri")
+    df.write.parquet(d + "/documents.parquet")
+    got = {r.tok: r.n_tri for r in cooccur_triangles(spark, d).collect()}
+    # K4 has C(3,2)=3 triangles per member, 4 total
+    assert got == {t: 3 for t in k4}
+
+
+def test_triangles_plan_shape(spark):
+    """Every nested-loop join in the plan is a 1-row stats broadcast
+    (corpus total / above-mean threshold — the pinned idiom); the wedge
+    and closing joins are equi-joins, and the multiply-consumed strong/
+    oriented frames read from cache instead of re-planning the corpus
+    self-join subtree per consumer."""
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.graph import cooccur_triangles
+
+    release_caches()  # deterministic cache baseline for node counts
+    plan = _plan(cooccur_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") <= 3
+    assert ") InMemoryTableScan" in plan
+    release_caches()
