@@ -204,6 +204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree-oriented triangle counting over the strong co-mention
         # graph (wedge volume O(m^1.5) regardless of hub skew)
         "cooccur_triangles": graph.cooccur_triangles,
+        # type-2 SCD build from the event change stream (CDC compaction:
+        # collapse no-change rows, open/close validity intervals — one
+        # user_id exchange serving every window pass)
+        "scd2_intervals": events.scd2_intervals,
+        # per-source token-budget selection by integer quality class
+        # (threshold selection — never a per-document sort)
+        "budget_select": text.budget_select,
+        # train/val/test split assigned at the dedup-CLUSTER level so
+        # near-duplicates never straddle the train/test fence
+        "leakage_safe_split": lambda spark, sf_dir: dedup.leakage_safe_split(
+            spark, sf_dir, max_bucket=None
+        ),
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1272,6 +1284,78 @@ def _triangles_sql() -> str:
     )
 
 
+def _scd2_sql() -> str:
+    """CDC/SCD2 replay: identical change detection (lag over (t_us,
+    event_id)), identical USER-RELATIVE times (the session-TZ offset in
+    epoch_us/unix_micros cancels in ``t_us - min(t_us) OVER user``),
+    integer open-interval sentinel so no NULL enters the hash."""
+    from astrospark.ops.events import SCD2_OPEN_US
+
+    return (
+        "WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, "
+        "event_type AS state FROM events), "
+        "r AS (SELECT user_id, event_id, state, "
+        "t_us - min(t_us) OVER (PARTITION BY user_id) AS rel_us, "
+        "lag(state) OVER (PARTITION BY user_id ORDER BY t_us, event_id) "
+        "AS prev_state FROM b), "
+        "c AS (SELECT user_id, event_id, state, rel_us FROM r "
+        "WHERE prev_state IS NULL OR prev_state <> state) "
+        "SELECT user_id, event_id, state, "
+        "CAST(row_number() OVER w AS INT) AS version, "
+        "rel_us AS valid_from_us, "
+        f"coalesce(lead(rel_us) OVER w, {SCD2_OPEN_US}) AS valid_to_us, "
+        "CAST(lead(rel_us) OVER w IS NULL AS INT) AS is_current "
+        "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY rel_us, event_id)"
+    )
+
+
+def _budget_select_sql() -> str:
+    """Threshold-selection replay: identical integer quality classes
+    ((SCALE * the_hits) // n_toks), identical whole-class keep rule via
+    the multiplied-through budget test — no fraction materializes."""
+    from astrospark.ops.text import BUDGET_DEN, BUDGET_NUM, BUDGET_Q_SCALE
+
+    return (
+        "WITH base AS (SELECT doc_id, source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, "
+        f"({BUDGET_Q_SCALE} * ((length(text) - "
+        "length(replace(text, ' the ', ''))) // 5)) "
+        "// CAST(len(string_split(text, ' ')) AS BIGINT) AS quality_q "
+        "FROM documents), "
+        "cls AS (SELECT source, quality_q, sum(n_toks) AS t_q "
+        "FROM base GROUP BY 1, 2), "
+        "v AS (SELECT source, quality_q, CAST("
+        "sum(t_q) OVER (PARTITION BY source ORDER BY quality_q DESC) "
+        f"* {BUDGET_DEN} <= sum(t_q) OVER (PARTITION BY source) "
+        f"* {BUDGET_NUM} AS INT) AS kept FROM cls) "
+        "SELECT b.doc_id, b.source, b.quality_q, b.n_toks, v.kept "
+        "FROM base b JOIN v USING (source, quality_q)"
+    )
+
+
+def _leakage_split_sql() -> str:
+    """Cluster-level hash split on the CC fixpoint labels: same
+    recursive-CTE components as dedup_cc_clusters, same md5-nibble u32
+    as sample_stratified, exact integer thresholds."""
+    from astrospark.ops.dedup import SPLIT_TRAIN_THR, SPLIT_VAL_THR
+
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    u32 = " + ".join(f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return (
+        _cc_cte_prefix()
+        + ", cl AS (SELECT d.doc_id, "
+        "coalesce(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id), "
+        "hh AS (SELECT doc_id, cluster_id, "
+        "md5('split:' || CAST(cluster_id AS VARCHAR)) AS h FROM cl), "
+        f"u AS (SELECT doc_id, cluster_id, {u32} AS u32 FROM hh) "
+        "SELECT doc_id, cluster_id, "
+        f"CASE WHEN u32 < {SPLIT_TRAIN_THR} THEN 'train' "
+        f"WHEN u32 < {SPLIT_VAL_THR} THEN 'val' ELSE 'test' END AS split "
+        "FROM u"
+    )
+
+
 def _trailing_window_sql() -> str:
     """ANSI RANGE frame replay: both engines include all peer rows of
     an equal order key, and the session-TZ offset in the integer time
@@ -1822,6 +1906,9 @@ def oracle_sql() -> dict[str, str]:
         "ssjoin_prefix": _ssjoin_prefix_sql(),
         "trailing_window_agg": _trailing_window_sql(),
         "cooccur_triangles": _triangles_sql(),
+        "scd2_intervals": _scd2_sql(),
+        "budget_select": _budget_select_sql(),
+        "leakage_safe_split": _leakage_split_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -978,3 +978,52 @@ def ssjoin_prefix(spark, sf_dir, n: int = 3) -> DataFrame:
             ).alias("jac_q"),
         )
     )
+
+
+SPLIT_TRAIN_THR = int(0.8 * (1 << 32))  # u32 < thr  -> train
+SPLIT_VAL_THR = int(0.9 * (1 << 32))    # thr <= u32 < val_thr -> val, else test
+
+
+def leakage_safe_split(
+    spark,
+    sf_dir,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Train/val/test split assigned at the dedup-CLUSTER level — the
+    contamination guard every eval-honest pretraining pipeline needs:
+    hashing doc_ids independently puts near-duplicate documents on both
+    sides of the train/test fence (the test set then "leaks" into
+    training through a near-copy). Here the hash-split decision is a
+    pure function of the connected-component ``cluster_id``
+    (dedup_cc_clusters), so every member of a near-dup cluster lands in
+    the SAME split by construction.
+
+    Shape for scale: the split adds exactly one scan-side projection on
+    top of the CC labeling (md5-nibble u32 on the cluster label +
+    integer thresholds — the sample_stratified idiom); no new shuffle,
+    no coordination, re-runs and task retries agree row-for-row.
+    Isolated documents are their own cluster (cluster_id = doc_id), so
+    the split stays ~80/10/10 over the corpus mass while clusters move
+    as atoms.
+
+    Cross-engine exactness: cluster ids from the CC fixpoint are
+    algorithm-independent (min reachable doc_id); the u32 is the md5
+    nibble construction shared with sample_stratified; thresholds are
+    exact integers.
+    """
+    from astrospark.ops.text import _hex32
+
+    cl = dedup_cc_clusters(spark, sf_dir, max_bucket=max_bucket).select(
+        "doc_id", "cluster_id"
+    )
+    u32 = _hex32(
+        F.md5(F.concat_ws(":", F.lit("split"), F.col("cluster_id").cast("string")))
+    )
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u32 < SPLIT_TRAIN_THR, F.lit("train"))
+        .when(u32 < SPLIT_VAL_THR, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -375,3 +375,65 @@ def trailing_window_agg(spark, sf_dir) -> DataFrame:
     ).withColumn(
         "is_burst", (F.col("n_trail_1d") >= TRAIL_BURST_N).cast("int")
     )
+
+
+SCD2_OPEN_US = -1  # sentinel for a still-open validity interval
+
+
+def scd2_intervals(spark, sf_dir) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream — the
+    CDC-compaction primitive every warehouse ingestion pipeline runs:
+    each user's event stream is read as a sequence of state changes
+    (``event_type`` = the dimension attribute), consecutive no-change
+    rows collapse, and every surviving change opens a validity interval
+    ``[valid_from, valid_to)`` closed by the next change (the newest
+    interval stays open). Downstream point-in-time joins then hit ONE
+    row per (user, as-of time) instead of replaying the raw stream.
+
+    Shape for scale: ONE user_id exchange serves every window in the
+    op — the per-user epoch base (unordered min), the change detection
+    (``lag`` over (t_us, event_id)), and, on the collapsed rows, the
+    version numbering and interval close (``row_number`` + ``lead``
+    over the same key/order). The filter between the two window passes
+    preserves the hash distribution, so Spark plans zero additional
+    Exchanges; state per user is O(1) per pass and rows never multiply.
+    The naive alternative — self-join "next change after t" — is a
+    per-user quadratic that melts on power users.
+
+    Cross-engine exactness: times are emitted RELATIVE to each user's
+    first event (``t_us - min(t_us) OVER user``), so the session-TZ
+    offset inside ``unix_micros``/``epoch_us`` cancels (same trick as
+    ``trailing_window_agg``); ties on equal timestamps break on the
+    integer event_id in both engines; the open interval is the integer
+    sentinel ``SCD2_OPEN_US`` (never NULL, so hashes agree).
+    """
+    e = _events(spark, sf_dir)
+    b = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("event_type").alias("state"),
+    )
+    part = Window.partitionBy("user_id")
+    w = part.orderBy("t_us", "event_id")
+    r = b.select(
+        "user_id",
+        "event_id",
+        "state",
+        (F.col("t_us") - F.min("t_us").over(part)).alias("rel_us"),
+        F.lag("state").over(w).alias("prev_state"),
+    )
+    changes = r.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("rel_us", "event_id")
+    nxt = F.lead("rel_us").over(wc)
+    return changes.select(
+        "user_id",
+        "event_id",
+        "state",
+        F.row_number().over(wc).cast("int").alias("version"),
+        F.col("rel_us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(SCD2_OPEN_US)).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

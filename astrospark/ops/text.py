@@ -10,7 +10,7 @@ pruning reach the parquet scan). Engine-specific hash functions are avoided
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # tokens for the J1-style broadcast dictionary semi-join demo — a mix of
@@ -1498,4 +1498,71 @@ def lang_source_pivot(spark, sf_dir) -> DataFrame:
             F.coalesce(F.col(lang), F.lit(0)).cast("int").alias(f"n_{lang}")
             for lang in PIVOT_LANGS
         ],
+    )
+
+
+BUDGET_NUM, BUDGET_DEN = 1, 2  # per-source token budget = 1/2 of source mass
+BUDGET_Q_SCALE = 100_000       # quality = stopword hits per 10^5 words (int)
+
+
+def budget_select(spark, sf_dir) -> DataFrame:
+    """Quality-ranked data selection under a per-source token budget —
+    the "pick the best N tokens per domain" step that turns a filtered
+    corpus into a training mix (cf. the budget/mixing stage in every
+    LLM data pipeline). Each source keeps its highest-quality documents
+    until BUDGET_NUM/BUDGET_DEN of the source's token mass is spent.
+
+    Shape for scale — threshold selection, NOT a per-document sort: a
+    per-source ordered prefix over 10^11 documents would sort whole
+    domains on single partitions. Instead (1) docs aggregate into
+    (source, quality-class) token masses — one map-side-combined
+    shuffle whose key space is bounded by sources x quality classes
+    (quality is an INTEGER rate, <= BUDGET_Q_SCALE+1 distinct values);
+    (2) the tiny class frame takes an ordered cumulative sum per source
+    (descending quality); (3) the keep/cut verdict per class broadcasts
+    back onto the doc stream. Whole classes are kept or cut — never
+    split — so the decision is a pure function of (source, quality) and
+    re-runs/retries agree row-for-row. Per-doc work is hash-agg +
+    broadcast-probe only; nothing ever sorts documents.
+
+    Cross-engine exactness: quality is the all-integer stopword rate
+    ``(BUDGET_Q_SCALE * the_hits) DIV n_words`` (the " the " counter of
+    quality_score, integer-divided); the budget test multiplies through
+    (``cum * DEN <= total * NUM``) so no fraction is ever materialized.
+    """
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_words = F.size(F.split(text, " "))
+    the_hits = (
+        (F.length(text) - F.length(F.replace(text, F.lit(" the "), F.lit(""))))
+        / F.lit(5)
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_toks"),
+        (F.lit(BUDGET_Q_SCALE).cast("bigint") * the_hits).alias("q_num"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.expr("q_num DIV n_toks").alias("quality_q"),
+    )
+    cls = base.groupBy("source", "quality_q").agg(
+        F.sum("n_toks").alias("t_q")
+    )
+    wsrc = Window.partitionBy("source")
+    wcum = wsrc.orderBy(F.col("quality_q").desc())
+    verdict = cls.select(
+        "source",
+        "quality_q",
+        (
+            F.sum("t_q").over(wcum) * BUDGET_DEN
+            <= F.sum("t_q").over(wsrc) * BUDGET_NUM
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+    return base.join(F.broadcast(verdict), ["source", "quality_q"]).select(
+        "doc_id", "source", "quality_q", "n_toks", "kept"
     )

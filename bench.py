@@ -281,6 +281,9 @@ def main() -> None:
         "ssjoin_prefix": _dedup.ssjoin_prefix,
         "trailing_window_agg": _events.trailing_window_agg,
         "cooccur_triangles": _graph.cooccur_triangles,
+        "scd2_intervals": _events.scd2_intervals,
+        "budget_select": _text.budget_select,
+        "leakage_safe_split": _dedup.leakage_safe_split,
     }.items():
         rs = []
         for _ in range(REPEATS):

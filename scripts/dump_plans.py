@@ -389,6 +389,29 @@ NOTES = {
         "integer above-mean rule; strong/oriented frames scoped-persist "
         "for their 3 consumers each."
     ),
+    "scd2_intervals": (
+        "Type-2 SCD / CDC compaction from the event change stream: ONE "
+        "user_id exchange serves all four window passes (per-user epoch "
+        "base, lag change-detection, row_number versioning, lead "
+        "interval-close) — the filter between passes preserves the hash "
+        "distribution so Spark plans zero extra Exchanges. Times emitted "
+        "user-relative so the session-TZ offset cancels; open intervals "
+        "use an integer sentinel, never NULL."
+    ),
+    "budget_select": (
+        "Per-source token-budget selection by THRESHOLD, not prefix "
+        "sort: docs hash-agg into (source, integer-quality-class) token "
+        "masses, the tiny class frame cumsums per source, and the "
+        "whole-class keep/cut verdict broadcasts back onto the doc "
+        "stream — nothing ever sorts documents, so a 10-TB domain "
+        "never lands on one partition."
+    ),
+    "leakage_safe_split": (
+        "Train/val/test split hashed on the dedup-cluster label (CC "
+        "fixpoint), so near-duplicate documents move between splits as "
+        "atoms — one scan-side md5-u32 projection on top of the CC "
+        "labeling, no new shuffle, retry-deterministic."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

@@ -1574,3 +1574,133 @@ def test_triangles_plan_shape(spark):
     assert plan.count(") BroadcastNestedLoopJoin") <= 3
     assert ") InMemoryTableScan" in plan
     release_caches()
+
+
+def test_scd2_python_replay(spark):
+    """Full scalar replay of the SCD2 build: per-user (ts, event_id)
+    sort, consecutive-duplicate collapse, interval open/close with the
+    integer sentinel — every output column exact."""
+    from astrospark.ops.events import SCD2_OPEN_US, scd2_intervals
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) t_us", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.t_us, r.event_id))
+        t0 = min(r.t_us for r in rows)
+        changes = [
+            r for i, r in enumerate(rows)
+            if i == 0 or r.event_type != rows[i - 1].event_type
+        ]
+        for v, r in enumerate(changes):
+            nxt = (
+                changes[v + 1].t_us - t0
+                if v + 1 < len(changes)
+                else SCD2_OPEN_US
+            )
+            expected.add(
+                (uid, r.event_id, r.event_type, v + 1, r.t_us - t0, nxt,
+                 int(v + 1 == len(changes)))
+            )
+    got = {
+        tuple(r) for r in scd2_intervals(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_scd2_single_exchange(spark):
+    """Every window pass (epoch base, change detection, versioning,
+    interval close) shares ONE user_id exchange."""
+    from astrospark.ops.events import scd2_intervals
+
+    plan = _plan(scd2_intervals(spark, SF))
+    assert plan.count(") Exchange") == 1
+
+
+def test_budget_select_class_greedy_replay(spark):
+    """Scalar replay of threshold selection: integer quality classes,
+    descending whole-class greedy under the multiplied-through budget
+    test; plus maximality (the first cut class would overshoot)."""
+    from astrospark.ops.text import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        BUDGET_Q_SCALE,
+        budget_select,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    classes = {}
+    for r in docs:
+        n_toks = len(r.text.split(" "))
+        hits = (len(r.text) - len(r.text.replace(" the ", ""))) // 5
+        q = BUDGET_Q_SCALE * hits // n_toks
+        classes.setdefault(r.source, {}).setdefault(q, []).append(
+            (r.doc_id, n_toks)
+        )
+    expected = {}
+    for src, qs in classes.items():
+        total = sum(t for docs_q in qs.values() for _, t in docs_q)
+        cum = 0
+        for q in sorted(qs, reverse=True):
+            t_q = sum(t for _, t in qs[q])
+            cum += t_q
+            kept = int(cum * BUDGET_DEN <= total * BUDGET_NUM)
+            for doc_id, n_toks in qs[q]:
+                expected[doc_id] = (src, q, n_toks, kept)
+    got = {
+        r.doc_id: (r.source, r.quality_q, r.n_toks, r.kept)
+        for r in budget_select(spark, SF).collect()
+    }
+    assert got == expected
+    kept_flags = {v[3] for v in got.values()}
+    assert kept_flags == {0, 1}  # both outcomes occur: budget binds
+
+
+def test_budget_select_no_doc_sort(spark):
+    """The doc stream is hash-agg + broadcast-probe only: the verdict
+    joins back via BroadcastHashJoin and no Sort node ever touches the
+    full document relation (sorts exist only above the tiny class agg)."""
+    from astrospark.ops.text import budget_select
+
+    plan = _plan(budget_select(spark, SF))
+    assert ") BroadcastHashJoin" in plan
+    assert ") SortMergeJoin" not in plan
+    assert ") CartesianProduct" not in plan
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """No cluster straddles splits; the assignment is the md5-u32 of
+    the cluster label (scalar replay); isolated docs are their own
+    cluster; all three splits occur."""
+    import hashlib
+
+    from astrospark.ops.dedup import (
+        SPLIT_TRAIN_THR,
+        SPLIT_VAL_THR,
+        leakage_safe_split,
+    )
+
+    rows = leakage_safe_split(spark, SF, max_bucket=None).collect()
+    assert len(rows) == 500
+    for r in rows:
+        u32 = int(
+            hashlib.md5(f"split:{r.cluster_id}".encode()).hexdigest()[:8], 16
+        )
+        want = (
+            "train"
+            if u32 < SPLIT_TRAIN_THR
+            else ("val" if u32 < SPLIT_VAL_THR else "test")
+        )
+        assert r.split == want
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r.split for r in rows} == {"train", "val", "test"}
