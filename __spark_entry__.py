@@ -216,6 +216,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": lambda spark, sf_dir: dedup.leakage_safe_split(
             spark, sf_dir, max_bucket=None
         ),
+        # sorted-neighborhood dedup: candidate count <= (W-1)*N by
+        # construction (skew-proof — no hot-bucket caps needed), rank
+        # via the no-SinglePartition contiguous-ids machinery
+        "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
+        # first-order Markov transition matrix over per-user event
+        # streams (one user_id exchange + |event_type|^2 cell agg)
+        "event_transitions": events.event_transitions,
+        # per-doc top-k integer tf-idf keywords (in-row tf pairs,
+        # vocab-bounded df agg broadcast back, WindowGroupLimit top-k)
+        "tfidf_top_terms": text.tfidf_top_terms,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1356,6 +1366,91 @@ def _leakage_split_sql() -> str:
     )
 
 
+def _snm_sql() -> str:
+    """Sorted-neighborhood replay: identical shingles + seed-0 minhash
+    key (the _minhash_sql mh_0 spelling), global rank via row_number
+    over the binary-collated ``mh0 || ':' || doc_id`` key (equals the
+    boundary-independent contiguous-ids rank — unique keys), neighbor
+    pairs by rank distance, exact integer Jaccard verify. Zero-overlap
+    pairs survive via the LEFT JOIN + coalesce(0)."""
+    from astrospark.ops.dedup import SNM_TAU_DEN, SNM_TAU_NUM, SNM_WINDOW
+
+    return (
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        "widx AS (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws) - 2)) AS i FROM words), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM widx), "
+        "k AS (SELECT doc_id, min(substr(md5('0#' || shingle), 1, 8)) AS mh0, "
+        "count(*) AS sz FROM sh GROUP BY doc_id), "
+        "rk AS (SELECT doc_id, sz, "
+        "row_number() OVER (ORDER BY mh0 || ':' || doc_id) - 1 AS seq FROM k), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(b.seq - a.seq AS INT) AS gap, a.sz AS sz_a, b.sz AS sz_b "
+        f"FROM rk a JOIN rk b ON b.seq > a.seq AND b.seq - a.seq < {SNM_WINDOW}), "
+        "ix AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p "
+        "JOIN sh sa ON sa.doc_id = p.doc_a "
+        "JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle "
+        "GROUP BY 1, 2) "
+        "SELECT p.doc_a, p.doc_b, p.gap, "
+        "CAST(coalesce(ix.n_inter, 0) AS INT) AS n_inter, "
+        "CAST(p.sz_a + p.sz_b - coalesce(ix.n_inter, 0) AS INT) AS n_union, "
+        f"CAST({SNM_TAU_DEN} * coalesce(ix.n_inter, 0) >= {SNM_TAU_NUM} * "
+        "(p.sz_a + p.sz_b - coalesce(ix.n_inter, 0)) AS INT) AS is_dup "
+        "FROM pairs p LEFT JOIN ix USING (doc_a, doc_b)"
+    )
+
+
+def _transitions_sql() -> str:
+    """Markov transition replay: identical lead() ordering (epoch time,
+    integer event_id tie-break — the TZ offset never affects ORDER),
+    exact integer counts and DIV probability."""
+    from astrospark.ops.events import TRANS_PROB_SCALE
+
+    return (
+        "WITH s AS (SELECT event_type AS from_state, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS to_state FROM events), "
+        "c AS (SELECT from_state, to_state, count(*) AS n_trans FROM s "
+        "WHERE to_state IS NOT NULL GROUP BY 1, 2) "
+        "SELECT from_state, to_state, CAST(n_trans AS BIGINT) AS n_trans, "
+        "CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS n_from, "
+        f"CAST({TRANS_PROB_SCALE} * n_trans // "
+        "sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS prob_q "
+        "FROM c"
+    )
+
+
+def _tfidf_sql() -> str:
+    """Integer tf-idf replay: list_distinct + list_filter tf pairs,
+    vocabulary df, log2q idf (shared _log2q_duck spelling), identical
+    (score DESC, word ASC) total order for the per-doc top-k."""
+    from astrospark.ops.text import LOG2Q_FBITS, TFIDF_RATIO_SCALE, TFIDF_TOPK
+
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "e AS (SELECT doc_id, ws, unnest(list_distinct(ws)) AS word FROM w), "
+        "tf AS (SELECT doc_id, word, "
+        "len(list_filter(ws, x -> x = word)) AS tf FROM e WHERE word <> ''), "
+        "dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        f"sr AS (SELECT word, n_docs * {TFIDF_RATIO_SCALE} // df AS sr "
+        "FROM dfx, n), "
+        f"idf AS (SELECT word, {_log2q_duck('sr')} - {20 * LOG2Q_FBITS} "
+        "AS idf_q FROM sr), "
+        "s AS (SELECT t.doc_id, t.word, t.tf, i.idf_q, "
+        "t.tf * i.idf_q AS score_q FROM tf t JOIN idf i USING (word) "
+        "WHERE i.idf_q > 0), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_q DESC, word) AS rk FROM s) "
+        "SELECT doc_id, word, CAST(tf AS INT) AS tf, "
+        "CAST(idf_q AS BIGINT) AS idf_q, CAST(score_q AS BIGINT) AS score_q, "
+        f"CAST(rk AS INT) AS rk FROM r WHERE rk <= {TFIDF_TOPK}"
+    )
+
+
 def _trailing_window_sql() -> str:
     """ANSI RANGE frame replay: both engines include all peer rows of
     an equal order key, and the session-TZ offset in the integer time
@@ -1909,6 +2004,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals": _scd2_sql(),
         "budget_select": _budget_select_sql(),
         "leakage_safe_split": _leakage_split_sql(),
+        "dedup_sorted_neighborhood": _snm_sql(),
+        "event_transitions": _transitions_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -1027,3 +1027,109 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+SNM_WINDOW = 8           # neighborhood width in sorted order
+SNM_TAU_NUM, SNM_TAU_DEN = 2, 5  # exact-Jaccard dup threshold (0.4)
+
+
+def dedup_sorted_neighborhood(
+    spark, sf_dir, window: int = SNM_WINDOW, n: int = 3
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernandez & Stolfo's
+    merge/purge): sort the corpus by a similarity-preserving key, then
+    compare each document ONLY against its ``window - 1`` successors in
+    sorted order. The candidate count is <= (window-1)*N **by
+    construction** — no content skew can inflate it, unlike LSH banding
+    where one hot bucket (boilerplate) emits quadratic pairs and needs
+    max_bucket caps. The trade is recall-by-key-quality, recovered in
+    practice with multi-pass SNM over different keys (here the key is a
+    parameter-free minhash: min over word-n-gram shingles of the seed-0
+    md5 — robust to edit position, identical spelling to
+    dedup_minhash_lsh's mh_0, so the oracle replays it verbatim).
+
+    Scale shape: (1) key + shingle set are in-row expressions over one
+    scan (docs with < n words cannot be shingle-dups and are excluded —
+    matches the oracle, whose shingle CTE emits no row for them);
+    (2) the global rank comes from assign_contiguous_ids — range
+    repartition + per-partition offsets, NO Exchange SinglePartition
+    (the naive row_number funnels the corpus through one task);
+    (3) neighbor pairing is an equi-join on the dense rank bucket
+    ``seq DIV window`` — a pair at gap < window is always in the same
+    or adjacent buckets, so the right side explodes to its own and the
+    previous bucket and the join is on a dense integer key with
+    EXACTLY ``window`` home rows per bucket: perfectly balanced, no
+    salting needed ever; (4) exact integer Jaccard verifies candidates
+    in-row (array_intersect on the carried shingle sets). At 10^12 docs
+    the carried payload would be the stored minhash signature rather
+    than raw shingle arrays; the plan shape is unchanged.
+
+    Cross-engine exactness: the sort key is ``mh0 || ':' || doc_id``
+    (unique, fixed-width doc ids) compared under binary collation in
+    both engines; ranks are dense integers; Jaccard is the multiplied-
+    through integer test (SNM_TAU_NUM/DEN), no fraction materializes.
+    """
+    from astrospark.ops.layout import assign_contiguous_ids
+
+    d = _docs(spark, sf_dir)
+    shs = F.expr(
+        f"CASE WHEN size(ws) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size(ws) - {n}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {n})))) END"
+    )
+    keyed = (
+        d.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= n)
+        .select("doc_id", shs.alias("shs"))
+        .withColumn(
+            "mh0",
+            F.array_min(
+                F.expr("transform(shs, s -> substr(md5(concat('0#', s)), 1, 8))")
+            ),
+        )
+        .select(
+            "doc_id",
+            "shs",
+            F.concat_ws(":", "mh0", "doc_id").alias("skey"),
+        )
+    )
+    ranked = assign_contiguous_ids(keyed, "skey").select("doc_id", "shs", "seq")
+    home = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("seq").alias("seq_a"),
+        F.expr(f"seq DIV {window}").alias("bucket"),
+    )
+    guest = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("seq").alias("seq_b"),
+        F.explode(
+            F.array(
+                F.expr(f"seq DIV {window}"),
+                F.expr(f"seq DIV {window} - 1"),
+            )
+        ).alias("bucket"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        home.join(guest, "bucket")
+        .filter(
+            (F.col("seq_b") > F.col("seq_a"))
+            & (F.col("seq_b") - F.col("seq_a") < window)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("seq_b") - F.col("seq_a")).cast("int").alias("gap"),
+            inter.alias("n_inter"),
+            (F.size("shs_a") + F.size("shs_b") - inter).alias("n_union"),
+            (
+                F.lit(SNM_TAU_DEN) * inter
+                >= F.lit(SNM_TAU_NUM)
+                * (F.size("shs_a") + F.size("shs_b") - inter)
+            )
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

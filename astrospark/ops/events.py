@@ -437,3 +437,57 @@ def scd2_intervals(spark, sf_dir) -> DataFrame:
         F.coalesce(nxt, F.lit(SCD2_OPEN_US)).alias("valid_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+TRANS_PROB_SCALE = 1_000_000  # transition probability fixed point
+
+
+def event_transitions(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavior-modeling primitive (what follows what?)
+    behind session simulation, anomaly scoring, and next-event
+    prediction baselines. Each user's events are ordered by time and
+    consecutive (state -> next state) steps are counted corpus-wide,
+    with the row-conditional probability P(to | from) emitted as an
+    exact integer rate.
+
+    Shape for scale: ONE user_id exchange feeds the lead() window
+    (per-user O(1) state), then the step stream collapses via a
+    map-side-combined aggregate whose key space is bounded by
+    |event_type|^2 — a few dozen cells regardless of corpus size; the
+    per-from totals are a window over that tiny cell frame, costing
+    nothing. The naive formulation — self-join events on "next event
+    of the same user" — is per-user quadratic and melts on power
+    users; lead() is linear and never multiplies rows.
+
+    Cross-engine exactness: ordering ties on equal timestamps break on
+    the integer event_id in both engines; counts are exact integers
+    and prob_q = (SCALE * n_trans) DIV n_from never materializes a
+    fraction.
+    """
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    steps = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    cells = steps.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_trans")
+    )
+    wfrom = Window.partitionBy("from_state")
+    return cells.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.sum("n_trans").over(wfrom).alias("n_from"),
+        F.expr(f"{TRANS_PROB_SCALE}L * n_trans DIV sum(n_trans) OVER "
+               "(PARTITION BY from_state)").alias("prob_q"),
+    )

@@ -1566,3 +1566,85 @@ def budget_select(spark, sf_dir) -> DataFrame:
     return base.join(F.broadcast(verdict), ["source", "quality_q"]).select(
         "doc_id", "source", "quality_q", "n_toks", "kept"
     )
+
+
+TFIDF_TOPK = 5
+TFIDF_RATIO_SCALE = 1 << 20  # N/df fixed point fed to log2q
+
+
+def tfidf_top_terms(spark, sf_dir, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the corpus-summarization
+    / tagging primitive (inspection panels, topic routing, weak labels
+    for quality classifiers). Everything integer so the DuckDB oracle
+    replays every score bit-for-bit: idf_q = log2q((N * 2^20) DIV df)
+    - 20*FBITS (>= 0, exactly 0 for corpus-universal words), score_q =
+    tf * idf_q; float tf-idf would drift in the last ulp and flip
+    tie-adjacent ranks between engines.
+
+    Shape for scale: per-doc (word, tf) pairs are built IN-ROW
+    (array_distinct + a nested higher-order filter — O(u*n) per doc,
+    JVM codegen, no (doc, word) pre-aggregation shuffle); document
+    frequency is a map-side-combined aggregate over the exploded
+    distinct words whose key space is the VOCABULARY, not the corpus;
+    the resulting idf frame broadcasts back onto the pair stream
+    (BroadcastHashJoin — no corpus-side shuffle); zero-idf words
+    (df = N) are cut BEFORE the ranking exchange, so the only wide
+    exchange in the plan is the final per-doc top-k window on doc_id,
+    and Spark's rank-limit pushdown (WindowGroupLimit) ships only each
+    partition's local top-k candidates through it.
+
+    Ties: (score_q DESC, word ASC) — word is unique within a doc, so
+    the order is total and both engines pick identical rows.
+    """
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(array_distinct(ws), w -> "
+                    "struct(w AS word, size(filter(ws, x -> x = w)) AS tf))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.word", "p.tf")
+        .filter(F.col("word") != "")
+    )
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    idf = (
+        pairs.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "word",
+            F.expr(f"n_docs * {TFIDF_RATIO_SCALE}L DIV df").alias("sr"),
+        )
+        .select(
+            "word",
+            F.expr(_log2q_sql("sr") + f" - {20 * LOG2Q_FBITS}").alias("idf_q"),
+        )
+        .filter(F.col("idf_q") > 0)
+    )
+    scored = pairs.join(F.broadcast(idf), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "idf_q",
+        (F.col("tf").cast("long") * F.col("idf_q")).alias("score_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("idf_q").cast("bigint").alias("idf_q"),
+            F.col("score_q").cast("bigint").alias("score_q"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

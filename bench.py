@@ -284,6 +284,9 @@ def main() -> None:
         "scd2_intervals": _events.scd2_intervals,
         "budget_select": _text.budget_select,
         "leakage_safe_split": _dedup.leakage_safe_split,
+        "dedup_sorted_neighborhood": _dedup.dedup_sorted_neighborhood,
+        "event_transitions": _events.event_transitions,
+        "tfidf_top_terms": _text.tfidf_top_terms,
     }.items():
         rs = []
         for _ in range(REPEATS):

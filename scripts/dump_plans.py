@@ -412,6 +412,30 @@ NOTES = {
         "atoms — one scan-side md5-u32 projection on top of the CC "
         "labeling, no new shuffle, retry-deterministic."
     ),
+    "dedup_sorted_neighborhood": (
+        "Sorted-neighborhood merge/purge: candidate count <= (W-1)*N "
+        "BY CONSTRUCTION — content skew cannot inflate it (no hot-"
+        "bucket caps needed, unlike LSH banding). Key = in-row seed-0 "
+        "minhash; global rank via the no-SinglePartition contiguous-"
+        "ids machinery; neighbor pairing is an equi-join on the dense "
+        "seq DIV W bucket (exactly W home rows per bucket — perfectly "
+        "balanced); exact integer Jaccard verifies in-row."
+    ),
+    "event_transitions": (
+        "First-order Markov transition matrix: ONE user_id exchange "
+        "feeds lead(), then the step stream collapses map-side into "
+        "|event_type|^2 cells; per-from totals are a window over that "
+        "tiny frame. The naive self-join alternative is per-user "
+        "quadratic; lead() is linear and never multiplies rows."
+    ),
+    "tfidf_top_terms": (
+        "Per-doc top-k tf-idf keywords, all integer (log2q idf): "
+        "(word, tf) pairs built IN-ROW (no doc-word pre-agg shuffle), "
+        "df is a vocab-bounded map-side-combined agg whose idf frame "
+        "BROADCASTS back, zero-idf words cut before the only wide "
+        "exchange (the doc_id top-k window, under WindowGroupLimit "
+        "rank-limit pushdown)."
+    ),
     "cohort_retention": (
         "Day-N retention matrix with NO countDistinct Expand: "
         "(user_id, day) is distinct'd first (burst collapse), persisted "

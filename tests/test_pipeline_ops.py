@@ -1704,3 +1704,170 @@ def test_leakage_safe_split_cluster_atomic(spark):
         by_cluster.setdefault(r.cluster_id, set()).add(r.split)
     assert all(len(s) == 1 for s in by_cluster.values())
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_snm_scalar_replay(spark):
+    """Full scalar replay of sorted-neighborhood dedup: hashlib seed-0
+    minhash key, global rank by (mh0:doc_id), gap < W pairing, exact
+    integer Jaccard — every output column exact."""
+    import hashlib
+
+    from astrospark.ops.dedup import (
+        SNM_TAU_DEN,
+        SNM_TAU_NUM,
+        SNM_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    keyed = []
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) < 3:
+            continue
+        shs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        mh0 = min(
+            hashlib.md5(f"0#{s}".encode()).hexdigest()[:8] for s in shs
+        )
+        keyed.append((f"{mh0}:{r.doc_id}", r.doc_id, shs))
+    keyed.sort()
+    expected = set()
+    for i, (_, da, sa) in enumerate(keyed):
+        for j in range(i + 1, min(i + SNM_WINDOW, len(keyed))):
+            _, db, sb = keyed[j]
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            expected.add(
+                (da, db, j - i, inter, uni,
+                 int(SNM_TAU_DEN * inter >= SNM_TAU_NUM * uni))
+            )
+    got = {tuple(r) for r in dedup_sorted_neighborhood(spark, SF).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_snm_bounded_candidates_and_plan(spark):
+    """Candidate volume is <= (W-1)*N by construction (the skew-proof
+    claim), every gap sits in [1, W-1], and the pairing is a plain
+    equi-join on the dense bucket key — no cartesian, no nested loop,
+    no single-partition funnel."""
+    from astrospark.ops.dedup import SNM_WINDOW, dedup_sorted_neighborhood
+
+    df = dedup_sorted_neighborhood(spark, SF)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) <= (SNM_WINDOW - 1) * n_docs
+    assert all(1 <= r.gap < SNM_WINDOW for r in rows)
+    plan = _plan(df)
+    assert ") CartesianProduct" not in plan
+    assert ") BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_event_transitions_scalar_replay(spark):
+    """Scalar replay: per-user (t_us, event_id) sort, consecutive
+    pairs, global counts, integer conditional probability."""
+    from collections import Counter
+
+    from astrospark.ops.events import TRANS_PROB_SCALE, event_transitions
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(cast(ts as timestamp)) t_us",
+            "event_type",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    cnt: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.t_us, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            cnt[(a.event_type, b.event_type)] += 1
+    from_tot: Counter = Counter()
+    for (f_, _), n in cnt.items():
+        from_tot[f_] += n
+    expected = {
+        (f_, t, n, from_tot[f_], TRANS_PROB_SCALE * n // from_tot[f_])
+        for (f_, t), n in cnt.items()
+    }
+    got = {tuple(r) for r in event_transitions(spark, SF).collect()}
+    assert got == expected
+    assert len(got) > 0
+    # row-conditional probabilities of each from-state sum to ~1
+    by_from = {}
+    for f_, _, n, tot, pq in got:
+        by_from.setdefault(f_, []).append(pq)
+    for probs in by_from.values():
+        assert sum(probs) <= TRANS_PROB_SCALE
+        assert sum(probs) > TRANS_PROB_SCALE - len(probs)
+
+
+def test_event_transitions_plan(spark):
+    """One user_id exchange feeds the lead window; the cell aggregate
+    map-side combines; no join anywhere in the plan."""
+    from astrospark.ops.events import event_transitions
+
+    plan = _plan(event_transitions(spark, SF))
+    assert plan.count(") Exchange") <= 3
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine on the cell agg
+
+
+def test_tfidf_scalar_replay(spark):
+    """Scalar replay: Counter tf, vocabulary df, integer log2q idf,
+    (score DESC, word ASC) top-k — every column exact."""
+    from collections import Counter
+
+    from astrospark.ops.text import (
+        LOG2Q_FBITS,
+        TFIDF_RATIO_SCALE,
+        TFIDF_TOPK,
+        log2q,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_docs = len(docs)
+    per_doc = {}
+    df_cnt: Counter = Counter()
+    for r in docs:
+        tf = Counter(w for w in r.text.split(" ") if w != "")
+        per_doc[r.doc_id] = tf
+        for w in tf:
+            df_cnt[w] += 1
+    idf = {
+        w: log2q(n_docs * TFIDF_RATIO_SCALE // d) - 20 * LOG2Q_FBITS
+        for w, d in df_cnt.items()
+    }
+    expected = set()
+    for doc_id, tf in per_doc.items():
+        scored = sorted(
+            (
+                (w, n, idf[w], n * idf[w])
+                for w, n in tf.items()
+                if idf[w] > 0
+            ),
+            key=lambda t: (-t[3], t[0]),
+        )
+        for rk, (w, n, iq, sq) in enumerate(scored[:TFIDF_TOPK], 1):
+            expected.add((doc_id, w, n, iq, sq, rk))
+    got = {tuple(r) for r in tfidf_top_terms(spark, SF).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_tfidf_plan(spark):
+    """The idf frame broadcasts back (no corpus-side shuffle join) and
+    the per-doc top-k runs under rank-limit pushdown."""
+    from astrospark.ops.text import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, SF))
+    assert ") BroadcastHashJoin" in plan
+    assert ") SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
