@@ -74,6 +74,34 @@ def _extraction_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("kind").agg(F.count("*").cast("int").alias("n_spans"))
 
 
+def _entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level corpus analytics over the extraction output — the
+    SIMBAD-style mention statistics a grobid-astro user computes
+    downstream of extraction (per surface form: catalogue family =
+    first token, document frequency, mention count). Composes the
+    interleaved extraction with a two-phase aggregate; count(DISTINCT)
+    plans as Spark's two-stage partial aggregation, so the only wide
+    exchange is keyed by the (bounded) entity vocabulary, never by the
+    10^12-row span stream. Value-checked against the golden span
+    parquet (the scalar oracle's output), like every extraction row."""
+    from pyspark.sql import functions as F
+
+    out = _extract_interleaved(spark, sf_dir).filter(F.col("kind") == "object")
+    return (
+        out.groupBy(F.col("text").alias("entity"))
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_mentions"),
+        )
+        .select(
+            "entity",
+            F.substring_index("entity", " ", 1).alias("family"),
+            "n_docs",
+            "n_mentions",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from astrospark.ops import (
         curation,
@@ -96,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": _extract_documents,
         "extract_interleaved": _extract_interleaved,
         "extraction_kind_counts": _extraction_kind_counts,
+        # entity-level mention statistics over the extraction output
+        # (golden-parquet value oracle, like the extraction rows)
+        "entity_profile": _entity_profile,
         # ANN / embedding family next (VERDICT r3 "Next round" #1): the
         # driver value-checks the FIRST 50 dict entries, and these 13
         # rows sat at positions 50-62 in r3 so they never reached a
@@ -226,6 +257,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc top-k integer tf-idf keywords (in-row tf pairs,
         # vocab-bounded df agg broadcast back, WindowGroupLimit top-k)
         "tfidf_top_terms": text.tfidf_top_terms,
+        # BPE vocabulary induction, two unrolled merge rounds: pair
+        # stats over the word-frequency table (never the raw token
+        # stream), alphabet^2-bounded pair agg, broadcast 1-row winner
+        "bpe_merges": text.bpe_merges,
+        # first-order conditional LM surprisal (in-row bigram stream,
+        # vocab-keyed count aggs, one doc_id exchange for the mean)
+        "bigram_lm_score": text.bigram_lm_score,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1422,6 +1460,71 @@ def _transitions_sql() -> str:
     )
 
 
+def _bigram_lm_sql() -> str:
+    """Bigram-LM surprisal replay: the bigram stream is two zipped
+    list-slice unnests (positionally parallel in DuckDB), counts and
+    add-one smoothing all-integer, log2q shared spelling."""
+    from astrospark.ops.text import BIGRAM_RATIO_SCALE, LOG2Q_FBITS
+
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "bi AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, "
+        "unnest(ws[2:len(ws)]) AS w2 FROM w WHERE len(ws) >= 2), "
+        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v_size FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents)), "
+        "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi "
+        "GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi "
+        "GROUP BY w1), "
+        f"sr AS (SELECT w1, w2, (c1 + v_size) * {BIGRAM_RATIO_SCALE} "
+        "// (cb + 1) AS sr FROM cb JOIN c1 USING (w1), v), "
+        f"sq AS (SELECT w1, w2, {_log2q_duck('sr')} - {20 * LOG2Q_FBITS} "
+        "AS sq FROM sr), "
+        "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, "
+        "CAST(sum(sq) AS BIGINT) AS sur_sum FROM bi "
+        "JOIN sq USING (w1, w2) GROUP BY doc_id) "
+        "SELECT doc_id, n_bigrams, sur_sum, "
+        "CAST(sur_sum // n_bigrams AS BIGINT) AS sur_avg FROM s"
+    )
+
+
+def _bpe_sql() -> str:
+    """Two unrolled BPE merge rounds: vocab-weighted adjacent-pair
+    counts, leftmost non-overlapping replace for the winner merge
+    (both engines), (cnt DESC, pair ASC) total order; the sentinel is
+    chr(57344) = U+E000 on both sides."""
+    from astrospark.ops.text import BPE_TOPK
+
+    def pairs(src: str, name: str) -> str:
+        return (
+            f"{name}p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, c "
+            f"FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i "
+            f"FROM {src} WHERE length(w) >= 2)), "
+            f"{name} AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt "
+            f"FROM {name}p GROUP BY pair), "
+            f"{name}k AS (SELECT pair, cnt, row_number() OVER "
+            f"(ORDER BY cnt DESC, pair ASC) AS rk FROM {name} "
+            f"ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOPK})"
+        )
+
+    return (
+        "WITH vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w), "
+        + pairs("vocab", "r1")
+        + ", p0 AS (SELECT pair AS p FROM r1k WHERE rk = 1), "
+        "merged AS (SELECT replace(w, (SELECT p FROM p0), chr(57344)) AS w, c "
+        "FROM vocab), "
+        + pairs("merged", "r2")
+        + " SELECT CAST(1 AS INT) AS merge_round, pair, cnt, CAST(rk AS INT) AS rk "
+        "FROM r1k UNION ALL "
+        "SELECT CAST(2 AS INT) AS merge_round, "
+        "replace(pair, chr(57344), (SELECT p FROM p0)) AS pair, cnt, "
+        "CAST(rk AS INT) AS rk FROM r2k"
+    )
+
+
 def _tfidf_sql() -> str:
     """Integer tf-idf replay: list_distinct + list_filter tf pairs,
     vocabulary df, log2q idf (shared _log2q_duck spelling), identical
@@ -1948,6 +2051,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'media' AS kind, 266 AS n_spans "
             "UNION ALL SELECT 'object' AS kind, 1803 AS n_spans"
         ),
+        # entity-level mention statistics: the same aggregate run over
+        # the golden span table, so the values are still pinned by the
+        # scalar oracle end-to-end (split_part == substring_index for
+        # the first-token family on both engines)
+        "entity_profile": (
+            "SELECT text AS entity, split_part(text, ' ', 1) AS family, "
+            "CAST(count(DISTINCT doc_id) AS INT) AS n_docs, "
+            "CAST(count(*) AS INT) AS n_mentions "
+            f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet' "
+            "WHERE kind = 'object' GROUP BY text"
+        ),
         # full golden span table, computed by the SCALAR ORACLE over the
         # same deterministic fixture corpus and frozen to parquet — the
         # driver value-checks the ENTIRE extracted span sequence (kind,
@@ -2007,6 +2121,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sorted_neighborhood": _snm_sql(),
         "event_transitions": _transitions_sql(),
         "tfidf_top_terms": _tfidf_sql(),
+        "bpe_merges": _bpe_sql(),
+        "bigram_lm_score": _bigram_lm_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

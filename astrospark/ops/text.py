@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astrospark.ops.caching import scoped_persist
+
 # tokens for the J1-style broadcast dictionary semi-join demo — a mix of
 # gazetteer tokens (astro) and the synthetic document vocabulary so the
 # join is non-degenerate on the driver's tables
@@ -1646,5 +1648,170 @@ def tfidf_top_terms(spark, sf_dir, k: int = TFIDF_TOPK) -> DataFrame:
             F.col("idf_q").cast("bigint").alias("idf_q"),
             F.col("score_q").cast("bigint").alias("score_q"),
             F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+BPE_TOPK = 10
+BPE_SENT = "\ue000"  # private-use sentinel standing in for the merged symbol
+
+
+def bpe_merges(spark, sf_dir, k: int = BPE_TOPK) -> DataFrame:
+    """BPE vocabulary induction, two unrolled merge rounds (Sennrich et
+    al. 2016) — the tokenizer-training primitive of every LLM data
+    pipeline. Round 1 ranks adjacent character pairs by corpus count;
+    the winning pair is merged into one symbol and round 2 re-ranks on
+    the merged text. Output: top-k (merge_round, pair, cnt, rk) rows per
+    round, round-2 pairs displayed with the merged symbol expanded.
+
+    Shape for scale — the classic BPE trick: pair statistics are
+    computed over the *word-frequency table*, never the raw token
+    stream. 10^12 corpus words collapse into one vocab-keyed map-side-
+    combined aggregate; pair generation is an in-row higher-order
+    transform over vocab entries (JVM codegen, O(len) per word); the
+    pair aggregate's key space is the symbol-alphabet square, so its
+    shuffle is corpus-size-independent, and the top-k is
+    TakeOrderedAndProject over that bounded frame (no SinglePartition
+    sort of anything corpus-sized). The round-1 winner joins back as a
+    broadcast 1-row nested-loop side; the vocab frame is scoped_persist-
+    cached because both rounds and the winner selection consume it.
+
+    Cross-engine exactness: counts are integers; the merge is leftmost
+    non-overlapping ``replace`` in both engines (exactly BPE's
+    left-to-right merge order at round 0, where both pieces are single
+    characters); ties rank (cnt DESC, pair ASC) — pair is unique after
+    the aggregate, so the order is total. The sentinel is a single BMP
+    private-use codepoint, counted as one character by both engines'
+    ``length``/``substring``.
+    """
+    d = _docs(spark, sf_dir)
+    vocab = scoped_persist(
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        # sequence(1, 0) is DESCENDING in Spark — the length guard is
+        # load-bearing, not cosmetic
+        return (
+            frame.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1), "
+                        "i -> substring(w, i, 2))"
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    def topk(frame: DataFrame) -> DataFrame:
+        ranked = frame.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(k)
+        w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        return ranked.withColumn("rk", F.row_number().over(w))
+
+    r1 = scoped_persist(topk(pair_counts(vocab)))
+    top1 = r1.filter(F.col("rk") == 1).select(F.col("pair").alias("p0"))
+    merged = vocab.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("w"), F.col("p0"), F.lit(BPE_SENT)).alias("w"), "c"
+    )
+    r2 = topk(pair_counts(merged)).crossJoin(F.broadcast(top1))
+    out1 = r1.select(
+        F.lit(1).cast("int").alias("merge_round"),
+        "pair",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    out2 = r2.select(
+        F.lit(2).cast("int").alias("merge_round"),
+        F.replace(F.col("pair"), F.lit(BPE_SENT), F.col("p0")).alias("pair"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    return out1.unionByName(out2)
+
+
+BIGRAM_RATIO_SCALE = 1 << 20
+
+
+def bigram_lm_score(spark, sf_dir) -> DataFrame:
+    """Bigram-LM (first-order conditional) surprisal per document — the
+    sharper wellformedness signal the unigram ``perplexity_filter``
+    misses: a document of real words in scrambled order scores
+    identically under a unigram LM, while the bigram model penalizes
+    implausible transitions. Add-one smoothing over the corpus
+    vocabulary: P(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V), where c1
+    counts CONTEXT occurrences (w1 positions of the bigram stream, so
+    sum_w2 c(w1,w2) == c1(w1) exactly) and V is the distinct unigram
+    vocabulary. Surprisal is integer log2q of the inverted ratio —
+    sr >= 2^20 always (c1 >= cb, V >= 1), so scores are non-negative
+    integers and DuckDB replays the doc sums bit-for-bit.
+
+    Shape for scale: the bigram stream is built IN-ROW from the split
+    array (element_at over sequence(2, n) — no positional self-join,
+    which would shuffle the corpus twice on (doc_id, pos)); bigram and
+    context counts are map-side-combined aggregates keyed by the
+    OBSERVED bigram/context vocabulary, not the corpus; V is a 1-row
+    broadcast; scoring joins the stream on the (w1, w2) key —
+    auto-broadcast at bench scale, a plain shuffle join at web scale
+    (the same honest posture as perplexity_filter); the per-doc mean
+    shuffles once on doc_id. Sub-2-word docs have no bigrams and are
+    not emitted (their wellformedness is the unigram filter's
+    jurisdiction). Spark's sequence(2, 1) would be DESCENDING — the
+    size >= 2 guard is load-bearing.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bi = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)), i -> struct("
+                    "element_at(ws, i - 1) AS w1, element_at(ws, i) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    vocab = d.select(F.explode(F.split("text", " ")).alias("w")).agg(
+        F.count_distinct("w").alias("v_size")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    sur = (
+        cb.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"(c1 + v_size) * {BIGRAM_RATIO_SCALE} div (cb + 1)").alias(
+                "sr"
+            ),
+        )
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"{_log2q_sql('sr')} - {20 * LOG2Q_FBITS}").alias("sq"),
+        )
+    )
+    return (
+        bi.join(sur, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("sq").cast("bigint").alias("sur_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sur_sum",
+            F.expr("sur_sum div n_bigrams").cast("bigint").alias("sur_avg"),
         )
     )

@@ -287,6 +287,9 @@ def main() -> None:
         "dedup_sorted_neighborhood": _dedup.dedup_sorted_neighborhood,
         "event_transitions": _events.event_transitions,
         "tfidf_top_terms": _text.tfidf_top_terms,
+        "bpe_merges": _text.bpe_merges,
+        "bigram_lm_score": _text.bigram_lm_score,
+        "entity_profile": __import__("__spark_entry__")._entity_profile,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -242,3 +242,78 @@ def test_pack_sequences_single_exchange(spark):
     assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def bpe_rows(spark, tmp_path_factory):
+    # vocab: aaa:2, bb:1, ab:2, cc:1, aaaa:1
+    # round-1 pair counts: aa = 2*2 + 3*1 = 7, ab = 2, bb = 1, cc = 1
+    # merge "aa" -> S (U+E000):
+    #   aaa  -> S a   (leftmost)    aaaa -> S S (non-overlapping)
+    # round-2 counts: ab=2, Sa=2, bb=1, cc=1, SS=1
+    docs = [
+        (0, "aaa bb aaa"),
+        (1, "ab ab cc"),
+        (2, "aaaa"),
+    ]
+    d = tmp_path_factory.mktemp("bpedocs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.text import bpe_merges
+
+    rows = bpe_merges(spark, str(d)).collect()
+    return {(r.merge_round, r.rk): (r.pair, r.cnt) for r in rows}
+
+
+def test_bpe_round1_pair_counts(bpe_rows):
+    assert bpe_rows[(1, 1)] == ("aa", 7)
+    assert bpe_rows[(1, 2)] == ("ab", 2)
+    # cnt ties rank pair-ascending
+    assert bpe_rows[(1, 3)] == ("bb", 1)
+    assert bpe_rows[(1, 4)] == ("cc", 1)
+
+
+def test_bpe_round2_merge_semantics(bpe_rows):
+    # "ab" (plain ascii) sorts before the sentinel pair at equal count
+    assert bpe_rows[(2, 1)] == ("ab", 2)
+    # S+a displayed with the merged symbol expanded: "aa"+"a"
+    assert bpe_rows[(2, 2)] == ("aaa", 2)
+    # leftmost NON-overlapping merge: "aaaa" -> S S, displayed "aaaa"
+    assert bpe_rows[(2, 5)] == ("aaaa", 1)
+
+
+def test_bpe_no_pairs_from_single_chars(spark, tmp_path_factory):
+    # 1-char words generate no pairs (and must not hit Spark's
+    # DESCENDING sequence(1, 0) trap)
+    d = tmp_path_factory.mktemp("bpe1")
+    spark.createDataFrame(
+        [(0, "a b c a")], "doc_id long, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import bpe_merges
+
+    assert bpe_merges(spark, str(d)).count() == 0
+
+
+def test_bigram_lm_hand_values(spark, tmp_path_factory):
+    # corpus: doc0 "a b a", doc1 "a b", doc2 "solo"
+    # V = |{a, b, solo}| = 3 (vocabulary counts ALL tokens, including
+    # docs too short to produce bigrams)
+    # bigrams: doc0 (a,b),(b,a); doc1 (a,b) -> cb(a,b)=2 cb(b,a)=1
+    # contexts: c1(a)=2, c1(b)=1; S = 2^20
+    # sr(a,b) = (2+3)S div 3 = 1747626 -> log2q=20*1024+682 -> sq=682
+    # sr(b,a) = (1+3)S div 2 = 2S      -> log2q=21*1024     -> sq=1024
+    d = tmp_path_factory.mktemp("bilm")
+    spark.createDataFrame(
+        [(0, "a b a"), (1, "a b"), (2, "solo")], "doc_id long, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import bigram_lm_score
+
+    rows = {r.doc_id: r for r in bigram_lm_score(spark, str(d)).collect()}
+    assert rows[0].n_bigrams == 2
+    assert rows[0].sur_sum == 682 + 1024
+    assert rows[0].sur_avg == (682 + 1024) // 2
+    assert rows[1].n_bigrams == 1
+    assert rows[1].sur_sum == 682
+    # sub-2-word docs are the unigram filter's jurisdiction: not emitted
+    assert 2 not in rows

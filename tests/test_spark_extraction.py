@@ -46,3 +46,38 @@ def test_determinism_across_parallelism(spark, artifacts, bcast):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_entity_profile_matches_golden(spark):
+    """entity_profile (driver contract row) re-aggregated from the
+    golden span parquet: identical (entity, family, n_docs, n_mentions)
+    multiset, family == first whitespace token."""
+    import collections
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+
+    got = {
+        r.entity: (r.family, r.n_docs, r.n_mentions)
+        for r in E.queries()["entity_profile"](spark, "/root/testdata/sf0.001").collect()
+    }
+
+    t = pq.read_table(
+        os.path.join(os.path.dirname(__file__), "golden", "interleaved_spans.parquet")
+    )
+    mentions = collections.Counter()
+    docs = collections.defaultdict(set)
+    for doc_id, kind, text in zip(
+        t["doc_id"].to_pylist(), t["kind"].to_pylist(), t["text"].to_pylist()
+    ):
+        if kind == "object":
+            mentions[text] += 1
+            docs[text].add(doc_id)
+    expected = {
+        e: (e.split(" ")[0], len(docs[e]), n) for e, n in mentions.items()
+    }
+    assert got == expected
