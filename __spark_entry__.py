@@ -102,6 +102,34 @@ def _entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph FROM the extraction output — which
+    astronomical objects are discussed together (the edge list that
+    entity-level PageRank / community detection consumes; the
+    token-level cooccur_* family approximates this from raw text, this
+    row builds it from the extractor's actual spans). Per-doc DISTINCT
+    entity sets self-join on doc_id: pair expansion is bounded by the
+    per-doc entity count squared (spans per doc are capped by document
+    length, never corpus size), then one vocabulary-keyed count
+    aggregate. Value-checked against the golden span parquet."""
+    from pyspark.sql import functions as F
+
+    ents = (
+        _extract_interleaved(spark, sf_dir)
+        .filter(F.col("kind") == "object")
+        .select("doc_id", F.col("text").alias("e"))
+        .distinct()
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.e") < F.col("b.e"))
+        .groupBy(F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
+        .agg(F.count("*").cast("int").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from astrospark.ops import (
         curation,
@@ -127,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entity-level mention statistics over the extraction output
         # (golden-parquet value oracle, like the extraction rows)
         "entity_profile": _entity_profile,
+        # entity co-mention edge list from the extraction output
+        "entity_cooccur": _entity_cooccur,
         # ANN / embedding family next (VERDICT r3 "Next round" #1): the
         # driver value-checks the FIRST 50 dict entries, and these 13
         # rows sat at positions 50-62 in r3 so they never reached a
@@ -264,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-order conditional LM surprisal (in-row bigram stream,
         # vocab-keyed count aggs, one doc_id exchange for the mean)
         "bigram_lm_score": text.bigram_lm_score,
+        # directed shingle-containment (quote/subset detection) over the
+        # same bounded rare-shingle posting lists as the jaccard row
+        "containment_pairs": dedup.containment_pairs,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1081,6 +1114,32 @@ def _curation_sql() -> str:
         f"JOIN ({_repetition_sql()}) r ON r.doc_id = d.doc_id AND r.rep_flagged = 0 "
         f"JOIN ({_decontaminate_sql()}) c ON c.doc_id = d.doc_id AND c.contaminated = 0 "
         f"JOIN ({_keep_best_sql()}) k ON k.doc_id = d.doc_id AND k.keep_best = 1"
+    )
+
+
+def _containment_sql() -> str:
+    """Directed shingle-containment replay: the jaccard prelude's rare
+    posting universe, each undirected intersection row fanned into its
+    <= 2 qualifying directions, integer containment via `//` == DIV."""
+    from astrospark.ops.dedup import CONTAIN_MIN_Q, CONTAIN_SCALE, MAX_DF
+
+    return (
+        "WITH " + _SHINGLE_CTE + ", "
+        f"rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}), "
+        "rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rs GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+        "FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "j AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b), "
+        "d AS (SELECT doc_a AS doc_inner, doc_b AS doc_outer, n_common, n_a AS n_inner FROM j "
+        "UNION ALL SELECT doc_b, doc_a, n_common, n_b FROM j) "
+        "SELECT doc_inner, doc_outer, CAST(n_common AS INT) AS n_common, "
+        f"CAST(n_inner AS INT) AS n_inner, "
+        f"CAST({CONTAIN_SCALE} * n_common // n_inner AS INT) AS cont_q "
+        f"FROM d WHERE {CONTAIN_SCALE} * n_common // n_inner >= {CONTAIN_MIN_Q}"
     )
 
 
@@ -2062,6 +2121,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet' "
             "WHERE kind = 'object' GROUP BY text"
         ),
+        # entity co-mention edges re-derived from the golden span table
+        "entity_cooccur": (
+            "WITH e AS (SELECT DISTINCT doc_id, text AS e "
+            f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet' "
+            "WHERE kind = 'object') "
+            "SELECT a.e AS e1, b.e AS e2, CAST(count(*) AS INT) AS n_docs "
+            "FROM e a JOIN e b USING (doc_id) WHERE a.e < b.e "
+            "GROUP BY a.e, b.e HAVING count(*) >= 2"
+        ),
         # full golden span table, computed by the SCALAR ORACLE over the
         # same deterministic fixture corpus and frozen to parquet — the
         # driver value-checks the ENTIRE extracted span sequence (kind,
@@ -2123,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _tfidf_sql(),
         "bpe_merges": _bpe_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
+        "containment_pairs": _containment_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -1133,3 +1133,82 @@ def dedup_sorted_neighborhood(
             .alias("is_dup"),
         )
     )
+
+
+CONTAIN_SCALE = 10_000
+CONTAIN_MIN_Q = 8_000  # 0.8 asymmetric containment
+
+
+def containment_pairs(spark, sf_dir) -> DataFrame:
+    """Asymmetric shingle-containment join — "doc A is (mostly) inside
+    doc B": containment(A in B) = |S_A ∩ S_B| / |S_A|. The subset /
+    quote detector Jaccard structurally misses: a short doc pasted into
+    a long article has Jaccard ≈ |A|/|B| ≈ 0 but containment 1.0
+    (quoted-reuse and boilerplate inclusion are asymmetric relations —
+    cf. the substring-reuse motivation of Lee et al. 2022 that
+    dedup_substring_pairs covers at the character level; this is the
+    set-level member of the same family).
+
+    Same bounded posting-list machinery as dedup_ngram_jaccard: ONE
+    shingle shuffle, the MAX_DF cap kills the k² hot-shingle blow-up
+    before any collect_set, JVM-side pair expansion from sorted
+    bounded lists. Each UNDIRECTED intersection row then fans into at
+    most 2 directed rows AFTER the threshold filter — the pair stream
+    is never doubled upstream. Integer containment
+    (CONTAIN_SCALE * n_common DIV n_inner) replays bit-for-bit in
+    DuckDB; n_inner counts surviving (rare) shingles — the same
+    universe the intersection is computed in, so containment of 1.0
+    means "every rare shingle of the inner doc appears in the outer".
+    """
+    d = _docs(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = scoped_persist(_shingles(d, dedup=False).repartition(n_part, "shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("shingle")
+    )
+    posting = scoped_persist(
+        sh.join(rare, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+    )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    inter = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    a_in_b = joined.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        "n_common",
+        F.col("n_a").alias("n_inner"),
+    )
+    b_in_a = joined.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        "n_common",
+        F.col("n_b").alias("n_inner"),
+    )
+    return (
+        a_in_b.unionByName(b_in_a)
+        .withColumn("cont_q", F.expr(f"{CONTAIN_SCALE} * n_common DIV n_inner"))
+        .filter(F.col("cont_q") >= CONTAIN_MIN_Q)
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.col("n_common").cast("int").alias("n_common"),
+            F.col("n_inner").cast("int").alias("n_inner"),
+            F.col("cont_q").cast("int").alias("cont_q"),
+        )
+    )

@@ -290,6 +290,8 @@ def main() -> None:
         "bpe_merges": _text.bpe_merges,
         "bigram_lm_score": _text.bigram_lm_score,
         "entity_profile": __import__("__spark_entry__")._entity_profile,
+        "entity_cooccur": __import__("__spark_entry__")._entity_cooccur,
+        "containment_pairs": _dedup.containment_pairs,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -1871,3 +1871,38 @@ def test_tfidf_plan(spark):
     assert ") BroadcastHashJoin" in plan
     assert ") SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_containment_quote_in_article(spark, tmp_path_factory):
+    """The defining asymmetric case: a short doc pasted verbatim into a
+    long one — containment(inner→outer) = 1.0 while Jaccard is far
+    below its threshold, so the jaccard row misses the pair entirely."""
+    quote = "alpha beta gamma delta epsilon"  # 3 word-3-gram shingles
+    filler = " ".join(f"w{i}" for i in range(40))  # 38 extra shingles
+    docs = [
+        (1, quote),
+        (2, quote + " " + filler),
+        (3, "totally unrelated text with other words entirely"),
+    ]
+    d = tmp_path_factory.mktemp("contdocs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.dedup import (
+        JACCARD_THRESHOLD,
+        containment_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    rows = containment_pairs(spark, str(d)).collect()
+    release_caches()
+    got = {(r.doc_inner, r.doc_outer): (r.n_common, r.n_inner, r.cont_q) for r in rows}
+    # doc1's 3 shingles all occur in doc2 (which spans the join seam too,
+    # so n_common is exactly doc1's shingle count)
+    assert got == {(1, 2): (3, 3, 10_000)}
+
+    jac = dedup_ngram_jaccard(spark, str(d)).collect()
+    release_caches()
+    assert jac == []  # 3/(3+43-3) ≈ 0.07 < 0.4 — jaccard is blind here
+    assert 3 / 43 < JACCARD_THRESHOLD
