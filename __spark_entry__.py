@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directed shingle-containment (quote/subset detection) over the
         # same bounded rare-shingle posting lists as the jaccard row
         "containment_pairs": dedup.containment_pairs,
+        # deterministic hash-sampled negative mining over embeddings
+        # (bounded anchor broadcast, one corpus scan, exact-cosine guard)
+        "contrastive_negatives": similarity.contrastive_negatives,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1140,6 +1143,34 @@ def _containment_sql() -> str:
         f"CAST(n_inner AS INT) AS n_inner, "
         f"CAST({CONTAIN_SCALE} * n_common // n_inner AS INT) AS cont_q "
         f"FROM d WHERE {CONTAIN_SCALE} * n_common // n_inner >= {CONTAIN_MIN_Q}"
+    )
+
+
+def _neg_sql() -> str:
+    """Hash-gated negative sample replay: md5 nibble gate, exact rounded
+    cosine guard, (hk, vec_id) per-anchor rank — all pure functions of
+    (anchor_id, vec_id)."""
+    from astrospark.ops.similarity import (
+        NEG_ANCHORS,
+        NEG_K,
+        NEG_MAX_COS,
+        NEG_SAMPLE_HEX,
+    )
+
+    return (
+        "WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb "
+        f"FROM embeddings WHERE vec_id < {NEG_ANCHORS}), "
+        "c AS (SELECT e.vec_id, a.anchor_id, a.a_emb, e.embedding, "
+        "md5(a.anchor_id || ':' || e.vec_id) AS hk "
+        "FROM embeddings e, a WHERE e.vec_id <> a.anchor_id), "
+        "s AS (SELECT anchor_id, vec_id, hk, "
+        "round(list_cosine_similarity(embedding::DOUBLE[], a_emb::DOUBLE[]), 4) "
+        f"AS cos_sim FROM c WHERE substring(hk, 1, 1) = '{NEG_SAMPLE_HEX}'), "
+        "f AS (SELECT anchor_id, vec_id, hk, cos_sim, row_number() OVER "
+        "(PARTITION BY anchor_id ORDER BY hk, vec_id) AS rk FROM s "
+        f"WHERE cos_sim < {NEG_MAX_COS}) "
+        "SELECT anchor_id, vec_id, hk, cos_sim, CAST(rk AS INT) AS rk "
+        f"FROM f WHERE rk <= {NEG_K}"
     )
 
 
@@ -2192,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(),
         "bigram_lm_score": _bigram_lm_sql(),
         "containment_pairs": _containment_sql(),
+        "contrastive_negatives": _neg_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TOP_K = 10
@@ -1045,4 +1045,71 @@ def embedding_hygiene(spark, sf_dir) -> DataFrame:
         )
         .cast("int")
         .alias("kept"),
+    )
+
+
+NEG_K = 4
+NEG_ANCHORS = 4       # anchors = vec_id < NEG_ANCHORS (bounded set)
+NEG_SAMPLE_HEX = "0"  # md5 first nibble gate: 1/16 candidate sample
+NEG_MAX_COS = 0.8     # false-negative guard, exact-verified on the sample
+
+
+def contrastive_negatives(spark, sf_dir) -> DataFrame:
+    """Deterministic negative mining for contrastive embedding training
+    — the training-pair prep step (anchor, negative) batches are built
+    from: for each anchor, a pseudo-random sample of the corpus with
+    near-duplicates excluded. Negatives are a SAMPLE, not nearest
+    neighbors, so no LSH index is needed; the false-negative guard
+    (dropping candidates too similar to the anchor) runs as EXACT
+    cosine on the sampled candidates only — the standard recipe (cf.
+    in-batch negatives with similarity filtering in dense-retrieval
+    training).
+
+    Shape for scale: the bounded anchor set broadcasts against ONE scan
+    of the vector table (corpus read once regardless of anchor count);
+    the md5-nibble gate prunes 15/16 of candidates BEFORE any cosine
+    math; the per-anchor top-k is a WindowGroupLimit window keyed by
+    anchor. Determinism: the sample and its ranking are pure functions
+    of (anchor_id, vec_id) via md5 — task retries, reruns, and the
+    DuckDB oracle agree row-for-row (rand() would be none of those).
+    Cosine parity uses the same rounded-double spelling as the green
+    ann_cosine_topk contract row.
+    """
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn(
+            "hk", F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("vec_id")))
+        )
+        .filter(F.substring("hk", 1, 1) == NEG_SAMPLE_HEX)
+    )
+    sims = cand.select(
+        "anchor_id",
+        "vec_id",
+        "hk",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("a_emb").cast("array<double>"),
+            ),
+            4,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") < NEG_MAX_COS)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("hk").asc(), F.col("vec_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            "anchor_id",
+            "vec_id",
+            "hk",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

@@ -292,6 +292,7 @@ def main() -> None:
         "entity_profile": __import__("__spark_entry__")._entity_profile,
         "entity_cooccur": __import__("__spark_entry__")._entity_cooccur,
         "containment_pairs": _dedup.containment_pairs,
+        "contrastive_negatives": _similarity.contrastive_negatives,
     }.items():
         rs = []
         for _ in range(REPEATS):

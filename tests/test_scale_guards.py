@@ -455,3 +455,65 @@ def test_sketches_bounded_under_pathological_skew(spark, tmp_path):
         bk.explain(mode="formatted")
     plan = buf.getvalue()
     assert "WindowGroupLimit" in plan.split("Exchange", 1)[0]
+
+
+def test_contrastive_negatives_scalar_replay(spark, tmp_path_factory):
+    """Full scalar replay: hashlib gate, numpy cosine guard, md5-hex
+    rank — and the near-copy of an anchor never ships as a negative."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 48, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs[10] = vecs[0] * 1.5  # exact-direction copy of anchor 0: cos = 1
+    rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)]
+    d = tmp_path_factory.mktemp("negs")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    from astrospark.ops.similarity import (
+        NEG_ANCHORS,
+        NEG_K,
+        NEG_MAX_COS,
+        NEG_SAMPLE_HEX,
+        contrastive_negatives,
+    )
+
+    got = contrastive_negatives(spark, str(d)).collect()
+
+    expected = {}
+    v64 = vecs.astype("float64")
+    for a in range(NEG_ANCHORS):
+        cands = []
+        for v in range(n):
+            if v == a:
+                continue
+            hk = hashlib.md5(f"{a}:{v}".encode()).hexdigest()
+            if not hk.startswith(NEG_SAMPLE_HEX):
+                continue
+            cos = float(
+                v64[v] @ v64[a] / (np.linalg.norm(v64[v]) * np.linalg.norm(v64[a]))
+            )
+            if round(cos, 4) < NEG_MAX_COS:
+                cands.append((hk, v, cos))
+        cands.sort()
+        expected[a] = cands[:NEG_K]
+
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {
+        a for a in range(NEG_ANCHORS) if expected[a]
+    }
+    for a, rows_a in by_anchor.items():
+        rows_a.sort(key=lambda r: r.rk)
+        assert [(r.hk, r.vec_id) for r in rows_a] == [
+            (hk, v) for hk, v, _ in expected[a]
+        ]
+        for r, (_, _, cos) in zip(rows_a, expected[a]):
+            assert abs(r.cos_sim - round(cos, 4)) < 1e-6
+        # the planted near-copy is excluded by the exact-cosine guard
+        assert 10 not in [r.vec_id for r in rows_a] or a != 0
