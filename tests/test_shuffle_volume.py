@@ -144,3 +144,76 @@ def test_window_ops_survive_external_buffering(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_bpe_exchanges_vocab_bounded_not_corpus(no_aqe):
+    """bpe_merges' central claim measured: pair statistics flow through
+    the word-frequency table, so NO exchange carries the exploded
+    occurrence stream — the widest shuffle is the vocab-keyed count agg
+    (31 distinct words / 82 distinct pairs at sf0.001 vs ~28k
+    occurrences)."""
+    from pyspark.sql import functions as F
+
+    from astrospark.ops import text as T
+    from astrospark.ops.caching import release_caches
+
+    spark = no_aqe
+    occ = _occurrences(spark)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .distinct()
+        .count()
+    )
+    exs = _exchanges(T.bpe_merges(spark, SF))
+    release_caches()
+    assert exs
+    worst = max(r for r, _ in exs)
+    # generous task-partial slack on the vocab bound; the point is the
+    # order-of-magnitude gap to the occurrence stream
+    assert worst <= vocab * 64 + 200, (worst, vocab)
+    assert worst <= occ / 10, (worst, occ)
+
+
+def test_bigram_lm_aggregate_exchanges_bounded(no_aqe):
+    """bigram_lm_score: the count aggregates put only (bigram|context)
+    vocabulary partials through their exchanges, never the exploded
+    bigram stream; the per-doc mean exchange is bounded by the doc
+    count."""
+    from pyspark.sql import functions as F
+
+    from astrospark.ops import text as T
+
+    spark = no_aqe
+    occ = _occurrences(spark)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = d.count()
+    n_bigram_vocab = (
+        d.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)), i -> struct("
+                    "element_at(ws, i - 1) AS w1, element_at(ws, i) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .distinct()
+        .count()
+    )
+    exs = _exchanges(T.bigram_lm_score(spark, SF))
+    assert exs
+    worst = max(r for r, _ in exs)
+    assert worst <= max(n_bigram_vocab * 64, n_docs * 8) + 200, (
+        worst,
+        n_bigram_vocab,
+        n_docs,
+    )
+    # the synthetic corpus has an unusually rich bigram vocabulary, so
+    # the gap to the exploded stream is smaller than the sketch family's
+    # — but still a multiple, and it GROWS with corpus size (vocab
+    # saturates, occurrences don't)
+    assert worst <= occ / 5, (worst, occ)
