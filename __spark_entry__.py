@@ -300,6 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic hash-sampled negative mining over embeddings
         # (bounded anchor broadcast, one corpus scan, exact-cosine guard)
         "contrastive_negatives": similarity.contrastive_negatives,
+        # lang-ID quality diagnostic: declared vs detected confusion
+        # cells from ONE corpus scan (no doc_id self-join)
+        "lang_confusion": text.lang_confusion,
+        # XLM-R-style α=1/2 temperature source rebalancing (source-keyed
+        # mass agg, broadcast-back thresholds, hash-pure keep verdict)
+        "temperature_sample": text.temperature_sample,
         # training-data pipeline: text analysis
         "fingerprint_rolling": text.fingerprint_rolling,
         "repetition_filters": text.repetition_filters,
@@ -1171,6 +1177,41 @@ def _neg_sql() -> str:
         f"WHERE cos_sim < {NEG_MAX_COS}) "
         "SELECT anchor_id, vec_id, hk, cos_sim, CAST(rk AS INT) AS rk "
         f"FROM f WHERE rk <= {NEG_K}"
+    )
+
+
+def _lang_confusion_sql() -> str:
+    """Declared-vs-detected confusion cells: the lang-ID prediction CTE
+    joined back to the declared label, |langs|^2 count cells."""
+    return (
+        "WITH pred AS (" + _lang_id_sql() + ") "
+        "SELECT d.lang AS decl_lang, p.pred_lang, "
+        "CAST(count(*) AS INT) AS n_docs "
+        "FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2"
+    )
+
+
+def _temperature_sql() -> str:
+    """α = 1/2 temperature rebalance replay: identical IEEE op order for
+    the sqrt-ratio threshold, same md5-nibble u32 as sample_stratified."""
+    from astrospark.ops.text import _U32
+
+    nib = "(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
+    u32 = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return (
+        "WITH base AS (SELECT doc_id, source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), "
+        "m AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS m_s "
+        "FROM base GROUP BY source), "
+        "mn AS (SELECT min(m_s) AS m_min FROM m), "
+        f"t AS (SELECT source, CAST(floor(({_U32}.0 * sqrt(CAST(m_min AS DOUBLE))) "
+        "/ sqrt(CAST(m_s AS DOUBLE))) AS BIGINT) AS t_q FROM m, mn), "
+        "h AS (SELECT doc_id, source, n_toks, "
+        "md5(CAST(doc_id AS VARCHAR) || ':' || source) AS hh FROM base) "
+        f"SELECT doc_id, source, n_toks, t_q, CAST(({u32}) < t_q AS INT) AS kept "
+        "FROM h JOIN t USING (source)"
     )
 
 
@@ -2224,6 +2265,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": _bigram_lm_sql(),
         "containment_pairs": _containment_sql(),
         "contrastive_negatives": _neg_sql(),
+        "lang_confusion": _lang_confusion_sql(),
+        "temperature_sample": _temperature_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -151,9 +151,9 @@ def quality_score(spark, sf_dir) -> DataFrame:
     )
 
 
-def lang_id_stopwords(spark, sf_dir) -> DataFrame:
-    """N-gram/stopword language-ID heuristic with a portable argmax."""
-    d = _docs(spark, sf_dir)
+def _pred_lang_expr():
+    """Stopword language-ID argmax as a reusable Column (consumed by
+    lang_id_stopwords and lang_confusion from the SAME scan)."""
     padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
 
     def count_of(w):
@@ -164,7 +164,6 @@ def lang_id_stopwords(spark, sf_dir) -> DataFrame:
         lang: sum_exprs([count_of(w) for w in words])
         for lang, words in STOPWORDS.items()
     }
-    best = None
     # deterministic argmax: iterate fixed lang order, strict > keeps first
     langs = list(STOPWORDS.keys())
     best_score = scores[langs[0]]
@@ -173,7 +172,34 @@ def lang_id_stopwords(spark, sf_dir) -> DataFrame:
         cond = scores[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return d.select("doc_id", best.alias("pred_lang"))
+    return best
+
+
+def lang_id_stopwords(spark, sf_dir) -> DataFrame:
+    """N-gram/stopword language-ID heuristic with a portable argmax."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", _pred_lang_expr().alias("pred_lang")
+    )
+
+
+def lang_confusion(spark, sf_dir) -> DataFrame:
+    """Language-ID confusion matrix — declared corpus metadata vs the
+    stopword detector: the quality-eval diagnostic that decides whether
+    metadata or the detector should gate the corpus mix (mislabeled
+    sources show up as hot off-diagonal cells). ONE corpus scan — the
+    detector argmax is computed inline next to the declared label, NOT
+    joined back on doc_id (a self-join would shuffle the corpus twice
+    for a |langs|²-cell answer); the count aggregate's key space is
+    |langs|², so its shuffle is corpus-size-independent."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("lang").alias("decl_lang"),
+            _pred_lang_expr().alias("pred_lang"),
+        )
+        .groupBy("decl_lang", "pred_lang")
+        .agg(F.count("*").cast("int").alias("n_docs"))
+    )
 
 
 def sum_exprs(exprs):
@@ -1814,4 +1840,55 @@ def bigram_lm_score(spark, sf_dir) -> DataFrame:
             "sur_sum",
             F.expr("sur_sum div n_bigrams").cast("bigint").alias("sur_avg"),
         )
+    )
+
+
+def temperature_sample(spark, sf_dir) -> DataFrame:
+    """Temperature-based source rebalancing at α = 1/2 — the
+    multilingual/multi-domain mixing rule (sample sources ∝ mass^α so
+    giant domains stop drowning small ones; the XLM-R / mT5 recipe).
+    Keep rate per source = sqrt(m_min / m_s): the smallest source keeps
+    everything, a 100× bigger source keeps 10% — post-sample masses are
+    ∝ sqrt(m_s).
+
+    Shape for scale: token masses collapse into one source-keyed
+    map-side-combined aggregate (key space = |sources|); the per-source
+    threshold frame (tiny) broadcasts back onto the doc stream; the
+    keep verdict is a pure function of (doc_id, source) via the md5
+    u32 — task retries, reruns, and the DuckDB oracle agree
+    row-for-row, and no document-level sort or rand() exists anywhere.
+
+    Cross-engine exactness: the threshold is
+    floor((2^32 · sqrt(m_min)) / sqrt(m_s)) — two IEEE sqrts, one
+    multiply, one divide, one floor, in the IDENTICAL order in both
+    engines (each op correctly rounded on identical inputs ⇒ identical
+    doubles ⇒ identical floor). For the smallest source the ratio is
+    the same double divided by itself = exactly 1.0, so t_q = 2^32
+    keeps every row.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    masses = base.groupBy("source").agg(F.sum("n_toks").alias("m_s"))
+    mn = masses.agg(F.min("m_s").alias("m_min"))
+    thr = (
+        masses.crossJoin(F.broadcast(mn))
+        .select(
+            "source",
+            F.expr(
+                f"CAST(floor(({_U32}D * sqrt(CAST(m_min AS DOUBLE))) "
+                "/ sqrt(CAST(m_s AS DOUBLE))) AS BIGINT)"
+            ).alias("t_q"),
+        )
+    )
+    u32 = _hex32(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("source"))))
+    return base.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "t_q",
+        (u32 < F.col("t_q")).cast("int").alias("kept"),
     )

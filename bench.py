@@ -293,6 +293,8 @@ def main() -> None:
         "entity_cooccur": __import__("__spark_entry__")._entity_cooccur,
         "containment_pairs": _dedup.containment_pairs,
         "contrastive_negatives": _similarity.contrastive_negatives,
+        "lang_confusion": _text.lang_confusion,
+        "temperature_sample": _text.temperature_sample,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -317,3 +317,64 @@ def test_bigram_lm_hand_values(spark, tmp_path_factory):
     assert rows[1].sur_sum == 682
     # sub-2-word docs are the unigram filter's jurisdiction: not emitted
     assert 2 not in rows
+
+
+def test_temperature_sample_scalar_replay(spark, tmp_path_factory):
+    """Exact replay of the α=1/2 rebalance: IEEE sqrt-ratio thresholds
+    via math.sqrt/floor and the md5-u32 keep verdict via hashlib."""
+    import hashlib
+    import math
+
+    # source A: 4 docs x 8 tokens = 32; source B: 2 docs x 4 tokens = 8
+    docs = [(i, " ".join(["w"] * 8), "en", "A", 0) for i in range(4)] + [
+        (i + 10, " ".join(["w"] * 4), "en", "B", 0) for i in range(2)
+    ]
+    d = tmp_path_factory.mktemp("tempdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import _U32, temperature_sample
+
+    rows = {r.doc_id: r for r in temperature_sample(spark, str(d)).collect()}
+    masses = {"A": 32, "B": 8}
+    m_min = 8
+    for doc_id, text, _, src, _ in docs:
+        t_q = math.floor((_U32 * math.sqrt(m_min)) / math.sqrt(masses[src]))
+        u32 = int(
+            hashlib.md5(f"{doc_id}:{src}".encode()).hexdigest()[:8], 16
+        )
+        r = rows[doc_id]
+        assert (r.t_q, r.kept) == (t_q, int(u32 < t_q)), doc_id
+    # smallest source: ratio is x/x = exactly 1.0 → t_q = 2^32 keeps all
+    assert all(rows[i + 10].kept == 1 for i in range(2))
+    assert rows[10].t_q == _U32
+    # bigger source thresholds at sqrt(8/32) = 1/2 of the hash space
+    assert rows[0].t_q == _U32 // 2
+
+
+def test_lang_confusion_cells_consistent(spark):
+    """Cells sum to the corpus size and agree with a doc-level join of
+    the declared label with the lang_id prediction."""
+    import collections
+
+    from astrospark.ops.text import lang_confusion, lang_id_stopwords
+
+    sf = "/root/testdata/sf0.001"
+    cells = {
+        (r.decl_lang, r.pred_lang): r.n_docs
+        for r in lang_confusion(spark, sf).collect()
+    }
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    preds = {
+        r.doc_id: r.pred_lang for r in lang_id_stopwords(spark, sf).collect()
+    }
+    expected = collections.Counter(
+        (docs[i], preds[i]) for i in docs
+    )
+    assert cells == dict(expected)
+    assert sum(cells.values()) == len(docs)
