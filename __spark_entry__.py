@@ -165,7 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (p1/p2/t1/t2/s3/j1/o1/o3/a4/quality/b1/lang_id/fingerprint_md5,
         # driver-green in r1+r2+r3) are demoted to the tail in exchange.
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        "emb_neardup_pairs": similarity.emb_neardup_pairs,
+        # (emb_neardup_pairs demoted to the tail — driver-green in r3 —
+        # to keep snapshot_diff inside the 50-row window)
         # scale-default RP-LSH family (65,536 bucket keys per band; the
         # sign_bucket queries stay as the 16-bucket oracle setting)
         "ann_rp_topk": similarity.ann_rp_topk,
@@ -306,8 +307,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # XLM-R-style α=1/2 temperature source rebalancing (source-keyed
         # mass agg, broadcast-back thresholds, hash-pure keep verdict)
         "temperature_sample": text.temperature_sample,
+        # per-dimension embedding moments (dim-keyed map-side combine)
+        "embedding_dim_stats": similarity.embedding_dim_stats,
+        # two-snapshot CDC diff (one doc_id full outer join, hash-only)
+        "snapshot_diff": relational.snapshot_diff,
         # training-data pipeline: text analysis
-        "fingerprint_rolling": text.fingerprint_rolling,
+        # (fingerprint_rolling demoted to the tail — driver-green in r3 —
+        # to keep snapshot_diff inside the 50-row window)
         "repetition_filters": text.repetition_filters,
         "decontaminate_ngram": text.decontaminate_ngram,
         "sample_stratified": text.sample_stratified,
@@ -371,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_boilerplate_strip": text.b1_boilerplate_strip,
         "lang_id_stopwords": text.lang_id_stopwords,
         "fingerprint_md5": text.fingerprint_md5,
+        "fingerprint_rolling": text.fingerprint_rolling,
+        "emb_neardup_pairs": similarity.emb_neardup_pairs,
     }
 
 
@@ -1212,6 +1220,38 @@ def _temperature_sql() -> str:
         "md5(CAST(doc_id AS VARCHAR) || ':' || source) AS hh FROM base) "
         f"SELECT doc_id, source, n_toks, t_q, CAST(({u32}) < t_q AS INT) AS kept "
         "FROM h JOIN t USING (source)"
+    )
+
+
+def _dim_stats_sql() -> str:
+    """Zipped parallel unnests give (dim, component); floor(v*1000)
+    quantization matches quantize() exactly (same IEEE multiply)."""
+    from astrospark.ops.similarity import QUANT_SCALE
+
+    return (
+        "WITH x AS (SELECT "
+        f"unnest(list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {QUANT_SCALE}) AS BIGINT))) AS qx, "
+        "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings) "
+        "SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(qx) AS BIGINT) AS sum_q, CAST(sum(qx * qx) AS BIGINT) AS sumsq_q "
+        "FROM x GROUP BY dim"
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    """Identical deterministic prev/curr construction, md5 compare,
+    FULL OUTER on doc_id."""
+    return (
+        "WITH prev AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 5 "
+        "THEN text || ' OLD' ELSE text END) AS h_prev "
+        "FROM documents WHERE doc_id % 19 <> 7), "
+        "curr AS (SELECT doc_id, md5(text) AS h_curr "
+        "FROM documents WHERE doc_id % 17 <> 3) "
+        "SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id, "
+        "CASE WHEN h_prev IS NULL THEN 'added' "
+        "WHEN h_curr IS NULL THEN 'removed' "
+        "WHEN h_prev <> h_curr THEN 'changed' ELSE 'same' END AS status "
+        "FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id"
     )
 
 
@@ -2267,6 +2307,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_negatives": _neg_sql(),
         "lang_confusion": _lang_confusion_sql(),
         "temperature_sample": _temperature_sql(),
+        "embedding_dim_stats": _dim_stats_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_codes": _pq_codes_sql(),

@@ -145,3 +145,43 @@ def salted_join(spark, sf_dir) -> DataFrame:
         F.max("n_clicks").alias("n_clicks"),
         F.sum("cents").alias("purchase_cents"),
     )
+
+
+def snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Cross-snapshot corpus diff — the CDC step between two crawl /
+    ingest versions: which documents were added, removed, changed, or
+    unchanged. The synthetic "previous" snapshot derives
+    deterministically from the same table (docs with doc_id % 19 == 7
+    are new since prev; docs with doc_id % 17 == 3 were removed from
+    curr; docs with doc_id % 13 == 5 carry edited prev text), so both
+    engines construct identical inputs — the diff machinery itself is
+    exactly what a real two-snapshot run executes.
+
+    Shape for scale: ONE full outer join keyed by doc_id (both sides
+    co-partition on the key; with doc_id-bucketed tables the join is
+    shuffle-free), content compared by md5 so the wide text column
+    never crosses the exchange — each side projects (doc_id, hash)
+    before joining.
+    """
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prev = d.filter(F.col("doc_id") % 19 != 7).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" OLD"))
+            ).otherwise(F.col("text"))
+        ).alias("h_prev"),
+    )
+    curr = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id", F.md5("text").alias("h_curr")
+    )
+    j = prev.join(curr, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_curr").isNull(), F.lit("removed"))
+        .when(F.col("h_prev") != F.col("h_curr"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select("doc_id", status.alias("status"))

@@ -1113,3 +1113,37 @@ def contrastive_negatives(spark, sf_dir) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def embedding_dim_stats(spark, sf_dir) -> DataFrame:
+    """Per-dimension moment statistics over the embedding matrix — the
+    drift / dead-dimension monitor every embedding pipeline runs before
+    trusting an index build (a dimension whose variance collapses after
+    a model update silently degrades every downstream LSH/IVF/PQ
+    structure built here).
+
+    Sums are over ``quantize``d integer components (exact in any
+    accumulation order — same foundation as the IVF scoring), so the
+    DuckDB replay is bit-identical. No mean/variance division is
+    emitted: Spark's DIV truncates toward zero while DuckDB's ``//``
+    floors, and dimension sums CAN be negative — consumers divide.
+
+    Shape for scale: posexplode ×dim fans out rows, but the aggregate
+    key space is the DIMENSIONALITY (64), so map-side combine collapses
+    each task to |dims| cells — the shuffle is corpus-size-independent,
+    like the sketch family.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        F.posexplode(quantize(F.col("embedding").cast("array<double>"))).alias(
+            "dim0", "qx"
+        )
+    )
+    return (
+        q.groupBy((F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("qx").cast("bigint").alias("sum_q"),
+            F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sumsq_q"),
+        )
+    )

@@ -295,6 +295,8 @@ def main() -> None:
         "contrastive_negatives": _similarity.contrastive_negatives,
         "lang_confusion": _text.lang_confusion,
         "temperature_sample": _text.temperature_sample,
+        "embedding_dim_stats": _similarity.embedding_dim_stats,
+        "snapshot_diff": _relational.snapshot_diff,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -517,3 +517,45 @@ def test_contrastive_negatives_scalar_replay(spark, tmp_path_factory):
             assert abs(r.cos_sim - round(cos, 4)) < 1e-6
         # the planted near-copy is excluded by the exact-cosine guard
         assert 10 not in [r.vec_id for r in rows_a] or a != 0
+
+
+def test_embedding_dim_stats_numpy_replay(spark):
+    """Quantized per-dimension sums replayed with numpy int64 exactly."""
+    import numpy as np
+
+    from astrospark.ops.similarity import QUANT_SCALE, embedding_dim_stats
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.dim: r for r in embedding_dim_stats(spark, sf).collect()}
+    embs = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ],
+        dtype="float64",
+    )
+    q = np.floor(embs * QUANT_SCALE).astype("int64")
+    assert set(rows) == set(range(1, embs.shape[1] + 1))
+    for d in range(embs.shape[1]):
+        r = rows[d + 1]
+        assert r.n_vecs == embs.shape[0]
+        assert r.sum_q == int(q[:, d].sum())
+        assert r.sumsq_q == int((q[:, d].astype(object) ** 2).sum())
+
+
+def test_snapshot_diff_statuses(spark):
+    """Every synthetic diff class appears and statuses are derived
+    correctly from the doc_id residue rules."""
+    from astrospark.ops.relational import snapshot_diff
+
+    rows = {r.doc_id: r.status for r in snapshot_diff(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows.values()) == {"added", "removed", "changed", "same"}
+    for doc_id, status in rows.items():
+        if doc_id % 19 == 7:
+            assert status == "added", doc_id
+        elif doc_id % 17 == 3:
+            assert status == "removed", doc_id
+        elif doc_id % 13 == 5:
+            assert status == "changed", doc_id
+        else:
+            assert status == "same", doc_id
