@@ -130,6 +130,49 @@ def _entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal balance statistics from the extraction output — per
+    media scheme (img/vid/aud) reference and document counts, the
+    modality-mix report an interleaved-pretraining data pipeline tracks
+    per ingest batch. Aggregate key space = |schemes|; count(DISTINCT)
+    plans as two-stage partial aggregation. Golden-parquet
+    value-checked like every extraction row."""
+    from pyspark.sql import functions as F
+
+    out = _extract_interleaved(spark, sf_dir).filter(F.col("kind") == "media")
+    return (
+        out.select(
+            F.substring_index("media_ref", "://", 1).alias("scheme"), "doc_id"
+        )
+        .groupBy("scheme")
+        .agg(
+            F.count("*").cast("int").alias("n_refs"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
+    )
+
+
+def _entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the entity co-mention graph — the
+    skew/shape diagnostic read before running graph algorithms on the
+    edge list (a heavy-tailed degree histogram says salt-the-hub before
+    PageRank). Both aggregates are keyed by bounded spaces (entity
+    vocabulary, then distinct degree values); the corpus never
+    re-enters the plan — only the support>=2 edge list does."""
+    from pyspark.sql import functions as F
+
+    edges = _entity_cooccur(spark, sf_dir)
+    deg = (
+        edges.select(F.col("e1").alias("e"))
+        .unionAll(edges.select(F.col("e2").alias("e")))
+        .groupBy("e")
+        .agg(F.count("*").cast("int").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(
+        F.count("*").cast("int").alias("n_entities")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from astrospark.ops import (
         curation,
@@ -180,12 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_banded": lambda spark, sf_dir: similarity.emb_neardup_banded(
             spark, sf_dir, max_bucket=None, probe_depths=(similarity.RP_BITS,)
         ),
-        "knn_join": lambda spark, sf_dir: similarity.knn_join(
-            spark, sf_dir, max_bucket=None
-        ),
-        "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
-            spark, sf_dir, max_bucket=None
-        ),
+        # (knn_join + dedup_simhash_pairs demoted to the tail — both
+        # driver-green in r2 — so media_kind_stats/entity_degree_hist
+        # sit inside the 50-row window)
         "dedup_cc_clusters": lambda spark, sf_dir: dedup.dedup_cc_clusters(
             spark, sf_dir, max_bucket=None
         ),
@@ -311,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": similarity.embedding_dim_stats,
         # two-snapshot CDC diff (one doc_id full outer join, hash-only)
         "snapshot_diff": relational.snapshot_diff,
+        # modality mix + graph-shape diagnostics from extraction output
+        "media_kind_stats": _media_kind_stats,
+        "entity_degree_hist": _entity_degree_hist,
         # training-data pipeline: text analysis
         # (fingerprint_rolling demoted to the tail — driver-green in r3 —
         # to keep snapshot_diff inside the 50-row window)
@@ -379,6 +422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "emb_neardup_pairs": similarity.emb_neardup_pairs,
+        "knn_join": lambda spark, sf_dir: similarity.knn_join(
+            spark, sf_dir, max_bucket=None
+        ),
+        "dedup_simhash_pairs": lambda spark, sf_dir: dedup.dedup_simhash_pairs(
+            spark, sf_dir, max_bucket=None
+        ),
     }
 
 
@@ -1252,6 +1301,21 @@ def _snapshot_diff_sql() -> str:
         "WHEN h_curr IS NULL THEN 'removed' "
         "WHEN h_prev <> h_curr THEN 'changed' ELSE 'same' END AS status "
         "FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id"
+    )
+
+
+def _entity_cooccur_sql() -> str:
+    """Support>=2 co-mention edges re-derived from the golden spans."""
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "interleaved_spans.parquet",
+    )
+    return (
+        "WITH ee AS (SELECT DISTINCT doc_id, text AS e "
+        f"FROM '{golden}' WHERE kind = 'object') "
+        "SELECT a.e AS e1, b.e AS e2, CAST(count(*) AS INT) AS n_docs "
+        "FROM ee a JOIN ee b USING (doc_id) WHERE a.e < b.e "
+        "GROUP BY a.e, b.e HAVING count(*) >= 2"
     )
 
 
@@ -2234,13 +2298,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE kind = 'object' GROUP BY text"
         ),
         # entity co-mention edges re-derived from the golden span table
-        "entity_cooccur": (
-            "WITH e AS (SELECT DISTINCT doc_id, text AS e "
+        "entity_cooccur": _entity_cooccur_sql(),
+        # degree histogram over the same golden-derived edge list
+        "entity_degree_hist": (
+            "WITH edges AS (" + _entity_cooccur_sql() + "), "
+            "deg AS (SELECT e, CAST(count(*) AS INT) AS deg FROM "
+            "(SELECT e1 AS e FROM edges UNION ALL SELECT e2 FROM edges) "
+            "GROUP BY e) "
+            "SELECT deg, CAST(count(*) AS INT) AS n_entities "
+            "FROM deg GROUP BY deg"
+        ),
+        # per-scheme media reference counts from the golden span table
+        "media_kind_stats": (
+            "SELECT split_part(media_ref, '://', 1) AS scheme, "
+            "CAST(count(*) AS INT) AS n_refs, "
+            "CAST(count(DISTINCT doc_id) AS INT) AS n_docs "
             f"FROM '{os.path.dirname(os.path.abspath(__file__))}/tests/golden/interleaved_spans.parquet' "
-            "WHERE kind = 'object') "
-            "SELECT a.e AS e1, b.e AS e2, CAST(count(*) AS INT) AS n_docs "
-            "FROM e a JOIN e b USING (doc_id) WHERE a.e < b.e "
-            "GROUP BY a.e, b.e HAVING count(*) >= 2"
+            "WHERE kind = 'media' GROUP BY 1"
         ),
         # full golden span table, computed by the SCALAR ORACLE over the
         # same deterministic fixture corpus and frozen to parquet — the

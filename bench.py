@@ -297,6 +297,8 @@ def main() -> None:
         "temperature_sample": _text.temperature_sample,
         "embedding_dim_stats": _similarity.embedding_dim_stats,
         "snapshot_diff": _relational.snapshot_diff,
+        "media_kind_stats": __import__("__spark_entry__")._media_kind_stats,
+        "entity_degree_hist": __import__("__spark_entry__")._entity_degree_hist,
     }.items():
         rs = []
         for _ in range(REPEATS):
