@@ -19,7 +19,7 @@ _LAYOUTS = [("2", str(128 * 1024 * 1024)), ("17", str(64 * 1024))]
 
 
 def _op_cases():
-    from astrospark.ops import dedup, graph, text
+    from astrospark.ops import dedup, graph, similarity, text
 
     return [
         ("pack_sequences", text.pack_sequences),
@@ -27,6 +27,14 @@ def _op_cases():
         ("hll_distinct_words", text.hll_distinct_words),
         ("cooccur_pagerank", graph.cooccur_pagerank),
         ("dedup_incremental", dedup.dedup_incremental),
+        # round-4 late additions: the BPE winner selection, the bigram-LM
+        # joins, the sqrt-threshold rebalance, and the hash-gated negative
+        # sample must all survive arbitrary layout re-picks
+        ("bpe_merges", text.bpe_merges),
+        ("bigram_lm_score", text.bigram_lm_score),
+        ("temperature_sample", text.temperature_sample),
+        ("containment_pairs", dedup.containment_pairs),
+        ("contrastive_negatives", similarity.contrastive_negatives),
     ]
 
 
