@@ -207,12 +207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries hard driver signal for them. 13 long-green r1-era rows
         # (p1/p2/t1/t2/s3/j1/o1/o3/a4/quality/b1/lang_id/fingerprint_md5,
         # driver-green in r1+r2+r3) are demoted to the tail in exchange.
-        "ann_ivf_topk": similarity.ann_ivf_topk,
+        # (ann_ivf_topk demoted to the tail — driver-green in r2 — to
+        # keep winsorize_bounds inside the 50-row window)
         # (emb_neardup_pairs demoted to the tail — driver-green in r3 —
         # to keep snapshot_diff inside the 50-row window)
         # scale-default RP-LSH family (65,536 bucket keys per band; the
         # sign_bucket queries stay as the 16-bucket oracle setting)
-        "ann_rp_topk": similarity.ann_rp_topk,
+        # (ann_rp_topk demoted to the tail — driver-green in r2/r3 — to
+        # keep dup_rate_by_source inside the 50-row window)
         # max_bucket=None pins exhaustive pair semantics for the oracles
         # (the DuckDB twins enumerate pairs exhaustively, and a
         # >max_bucket LSH bucket in some future sf corpus would silently
@@ -354,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modality mix + graph-shape diagnostics from extraction output
         "media_kind_stats": _media_kind_stats,
         "entity_degree_hist": _entity_degree_hist,
+        # exact per-source order-statistic clamp + spam-rate report
+        "winsorize_bounds": text.winsorize_bounds,
+        "dup_rate_by_source": text.dup_rate_by_source,
         # training-data pipeline: text analysis
         # (fingerprint_rolling demoted to the tail — driver-green in r3 —
         # to keep snapshot_diff inside the 50-row window)
@@ -422,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "emb_neardup_pairs": similarity.emb_neardup_pairs,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_rp_topk": similarity.ann_rp_topk,
         "knn_join": lambda spark, sf_dir: similarity.knn_join(
             spark, sf_dir, max_bucket=None
         ),
@@ -1316,6 +1323,36 @@ def _entity_cooccur_sql() -> str:
         "SELECT a.e AS e1, b.e AS e2, CAST(count(*) AS INT) AS n_docs "
         "FROM ee a JOIN ee b USING (doc_id) WHERE a.e < b.e "
         "GROUP BY a.e, b.e HAVING count(*) >= 2"
+    )
+
+
+def _winsorize_sql() -> str:
+    """Exact order-statistic bounds under the (n_chars, doc_id) total
+    order; integer rank arithmetic via `//` == DIV (operands >= 0)."""
+    from astrospark.ops.text import WINSOR_HI_PCT, WINSOR_LO_PCT
+
+    return (
+        "WITH r AS (SELECT doc_id, source, n_chars, "
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM documents), "
+        "b AS (SELECT source, CAST(min(n_chars) AS INT) AS lo, "
+        "CAST(max(n_chars) AS INT) AS hi FROM r "
+        f"WHERE rn = 1 + (n - 1) * {WINSOR_LO_PCT} // 100 "
+        f"OR rn = 1 + (n - 1) * {WINSOR_HI_PCT} // 100 GROUP BY source) "
+        "SELECT doc_id, d.source, CAST(n_chars AS INT) AS n_chars, lo, hi, "
+        "CAST(least(greatest(n_chars, lo), hi) AS INT) AS clamped "
+        "FROM documents d JOIN b ON d.source = b.source"
+    )
+
+
+def _dup_rate_sql() -> str:
+    return (
+        "WITH g AS (SELECT source, md5(text) AS h, count(*) AS n "
+        "FROM documents GROUP BY source, md5(text)) "
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(10000 * (sum(n) - count(*)) // sum(n) AS INT) AS dup_rate_q "
+        "FROM g GROUP BY source"
     )
 
 
@@ -2381,6 +2418,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_negatives": _neg_sql(),
         "lang_confusion": _lang_confusion_sql(),
         "temperature_sample": _temperature_sql(),
+        "winsorize_bounds": _winsorize_sql(),
+        "dup_rate_by_source": _dup_rate_sql(),
         "embedding_dim_stats": _dim_stats_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),

@@ -1892,3 +1892,88 @@ def temperature_sample(spark, sf_dir) -> DataFrame:
         "t_q",
         (u32 < F.col("t_q")).cast("int").alias("kept"),
     )
+
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 10, 90
+
+
+def winsorize_bounds(spark, sf_dir) -> DataFrame:
+    """Per-source exact-rank winsorization of document length — the
+    robust-scaling step before length-based quality features (a handful
+    of giant or empty documents otherwise dominate any mean/variance
+    normalization). Bounds are ORDER STATISTICS, not approximations:
+    lo = the (1 + (n-1)·10 DIV 100)-th value, hi = the 90% twin, per
+    source, under the TOTAL order (n_chars, doc_id) — so both engines
+    pick the identical bound rows and the clamp replays bit-for-bit
+    (approximate quantiles have no cross-engine contract; the sketch
+    path for web scale is ``quantile_sketch``).
+
+    Shape for scale: ONE source-keyed window shuffle computes ranks
+    (exact per-group quantiles genuinely cost a per-group sort — that
+    is the honest price, paid once; sources are the partition key so
+    the sort never goes global); per-source counts ride the same
+    window; the tiny (source, lo, hi) frame broadcasts back onto the
+    doc stream for the clamp.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == 1 + F.expr(f"(n - 1) * {WINSOR_LO_PCT} DIV 100"))
+            | (F.col("rn") == 1 + F.expr(f"(n - 1) * {WINSOR_HI_PCT} DIV 100"))
+        )
+        .groupBy("source")
+        .agg(
+            F.min("n_chars").cast("int").alias("lo"),
+            F.max("n_chars").cast("int").alias("hi"),
+        )
+    )
+    return d.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+        .cast("int")
+        .alias("clamped"),
+    )
+
+
+def dup_rate_by_source(spark, sf_dir) -> DataFrame:
+    """Per-source exact-duplicate rate — the "which domain is spammy"
+    report that decides where aggressive dedup budgets go (web crawls
+    routinely show order-of-magnitude dup-rate differences by host).
+    Two map-side-combined aggregates: (source, content-md5) group
+    sizes, then per-source doc/distinct totals; the integer rate is
+    10000·(n_docs − n_distinct) DIV n_docs. Key spaces: distinct
+    contents, then |sources| — nothing corpus-keyed leaves the second
+    exchange."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.expr("10000 * (n_docs - n_distinct) DIV n_docs")
+            .cast("int")
+            .alias("dup_rate_q"),
+        )
+    )

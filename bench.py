@@ -299,6 +299,8 @@ def main() -> None:
         "snapshot_diff": _relational.snapshot_diff,
         "media_kind_stats": __import__("__spark_entry__")._media_kind_stats,
         "entity_degree_hist": __import__("__spark_entry__")._entity_degree_hist,
+        "winsorize_bounds": _text.winsorize_bounds,
+        "dup_rate_by_source": _text.dup_rate_by_source,
     }.items():
         rs = []
         for _ in range(REPEATS):

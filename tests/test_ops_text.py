@@ -378,3 +378,45 @@ def test_lang_confusion_cells_consistent(spark):
     )
     assert cells == dict(expected)
     assert sum(cells.values()) == len(docs)
+
+
+def test_winsorize_bounds_order_stats(spark, tmp_path_factory):
+    # source A: n_chars 0,10,...,100 (n=11):
+    #   lo rank = 1 + 10*10//100 = 2  -> lo = 10
+    #   hi rank = 1 + 10*90//100 = 10 -> hi = 90
+    docs = [(i, "x", "en", "A", i * 10) for i in range(11)]
+    # source B: 2 docs -> lo rank 1+(1*10)//100=1, hi rank 1+(1*90)//100=1:
+    # both bounds collapse onto the FIRST order stat
+    docs += [(100, "x", "en", "B", 5), (101, "x", "en", "B", 500)]
+    d = tmp_path_factory.mktemp("windocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import winsorize_bounds
+
+    rows = {r.doc_id: r for r in winsorize_bounds(spark, str(d)).collect()}
+    assert (rows[0].lo, rows[0].hi) == (10, 90)
+    assert rows[0].clamped == 10      # 0 clamps up to lo
+    assert rows[10].clamped == 90     # 100 clamps down to hi
+    assert rows[5].clamped == 50      # interior untouched
+    assert (rows[100].lo, rows[100].hi) == (5, 5)
+    assert rows[101].clamped == 5
+
+
+def test_dup_rate_by_source(spark, tmp_path_factory):
+    docs = [
+        (0, "same text", "en", "A", 9),
+        (1, "same text", "en", "A", 9),
+        (2, "other", "en", "A", 5),
+        (3, "third", "en", "A", 5),
+        (4, "unique", "en", "B", 6),
+    ]
+    d = tmp_path_factory.mktemp("dupdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import dup_rate_by_source
+
+    rows = {r.source: r for r in dup_rate_by_source(spark, str(d)).collect()}
+    assert (rows["A"].n_docs, rows["A"].n_distinct, rows["A"].dup_rate_q) == (4, 3, 2500)
+    assert (rows["B"].n_docs, rows["B"].n_distinct, rows["B"].dup_rate_q) == (1, 1, 0)
