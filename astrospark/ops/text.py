@@ -1977,3 +1977,98 @@ def dup_rate_by_source(spark, sf_dir) -> DataFrame:
             .alias("dup_rate_q"),
         )
     )
+
+
+BPE_SENT2 = ""  # second merge round's symbol
+
+
+def bpe_encode(spark, sf_dir) -> DataFrame:
+    """Apply the induced BPE merges (the two bpe_merges rounds) to every
+    document and report the compression — the tokenizer-fertility eval
+    run before committing a vocabulary (chars per symbol decides context
+    -window economics; fertility regressions are how bad merge tables
+    get caught). Each document's words are encoded with merge 1 then
+    merge 2 (leftmost non-overlapping ``replace``, BPE's merge order);
+    symbols = characters after both rewrites, so
+    n_symbols = Σ length(merged word).
+
+    Shape for scale: the two winner pairs are 1-row broadcast sides
+    (the same TakeOrdered frames bpe_merges ranks — winner selection
+    re-runs here; production would read the stored merge table); the
+    encode itself is a zero-shuffle map over the corpus — the only
+    exchange below is none at all: scan → join(broadcast 1-row) →
+    project. Integer counts replay exactly in DuckDB.
+
+    The round-2 winner may CONTAIN the round-1 sentinel (a 3-char
+    source sequence); applying replace(p0)→replace(p1) to raw text
+    reproduces the symbol-level merge exactly because merges are
+    applied in training order.
+    """
+    d = _docs(spark, sf_dir)
+    vocab = scoped_persist(
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1), "
+                        "i -> substring(w, i, 2))"
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    def top1(frame: DataFrame, alias: str) -> DataFrame:
+        return (
+            frame.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.col("pair").alias(alias))
+        )
+
+    p0 = top1(pair_counts(vocab), "p0")
+    merged = vocab.crossJoin(F.broadcast(p0)).select(
+        F.replace(F.col("w"), F.col("p0"), F.lit(BPE_SENT)).alias("w"), "c"
+    )
+    p1 = top1(pair_counts(merged), "p1")
+    enc = (
+        d.select("doc_id", "text")
+        .crossJoin(F.broadcast(p0))
+        .crossJoin(F.broadcast(p1))
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("ws"),
+            "p0",
+            "p1",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(filter(ws, w -> w <> ''), "
+                f"w -> length(replace(replace(w, p0, '{BPE_SENT}'), "
+                f"p1, '{BPE_SENT2}'))), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("n_symbols"),
+            F.expr(
+                "aggregate(transform(filter(ws, w -> w <> ''), w -> length(w)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("n_chars_in"),
+        )
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_chars_in").cast("bigint").alias("n_chars_in"),
+        F.col("n_symbols").cast("bigint").alias("n_symbols"),
+        (F.col("n_chars_in") - F.col("n_symbols"))
+        .cast("bigint")
+        .alias("n_merged"),
+    )

@@ -301,6 +301,7 @@ def main() -> None:
         "entity_degree_hist": __import__("__spark_entry__")._entity_degree_hist,
         "winsorize_bounds": _text.winsorize_bounds,
         "dup_rate_by_source": _text.dup_rate_by_source,
+        "bpe_encode": _text.bpe_encode,
     }.items():
         rs = []
         for _ in range(REPEATS):

@@ -420,3 +420,29 @@ def test_dup_rate_by_source(spark, tmp_path_factory):
     rows = {r.source: r for r in dup_rate_by_source(spark, str(d)).collect()}
     assert (rows["A"].n_docs, rows["A"].n_distinct, rows["A"].dup_rate_q) == (4, 3, 2500)
     assert (rows["B"].n_docs, rows["B"].n_distinct, rows["B"].dup_rate_q) == (1, 1, 0)
+
+
+def test_bpe_encode_hand_values(spark, tmp_path_factory):
+    """Merge application replayed by hand on the bpe_merges fixture
+    corpus: round-1 winner 'aa', round-2 winner = 'ab' (S='aa' merged)."""
+    docs = [
+        (0, "aaa bb aaa"),
+        (1, "ab ab cc"),
+        (2, "aaaa"),
+    ]
+    d = tmp_path_factory.mktemp("bpeenc")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.text import bpe_encode
+
+    rows = {r.doc_id: r for r in bpe_encode(spark, str(d)).collect()}
+    # winners (test_bpe_round1/2): p0='aa', p1='ab' (counts: ab=2 beats
+    # S+a=2 on pair-ascending tiebreak)
+    # doc0 "aaa bb aaa": aaa -> S a (2 symbols) x2, bb -> bb (2) [p1='ab'
+    #   absent] => chars 8, symbols 2+2+2 = 6
+    assert (rows[0].n_chars_in, rows[0].n_symbols, rows[0].n_merged) == (8, 6, 2)
+    # doc1 "ab ab cc": ab -> T (1 symbol) x2, cc -> 2 => 6 chars, 4 symbols
+    assert (rows[1].n_chars_in, rows[1].n_symbols, rows[1].n_merged) == (6, 4, 2)
+    # doc2 "aaaa" -> S S (2 symbols), 4 chars
+    assert (rows[2].n_chars_in, rows[2].n_symbols, rows[2].n_merged) == (4, 2, 2)
