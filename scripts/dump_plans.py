@@ -458,6 +458,83 @@ NOTES = {
         "offset table broadcasts back onto per-partition row_numbers. "
         "Result is boundary-independent for unique keys."
     ),
+    "entity_profile": (
+        "Extraction (single MapInPandas stage) feeds a two-phase "
+        "count(DISTINCT doc_id) aggregate keyed by the bounded entity "
+        "vocabulary — the wide exchange never carries the span stream."
+    ),
+    "entity_cooccur": (
+        "Per-doc DISTINCT entity sets self-join on doc_id (pair fanout "
+        "bounded by per-doc entity count²), then one vocabulary-keyed "
+        "count agg with the support>=2 filter inside the exchange."
+    ),
+    "bpe_merges": (
+        "Pair stats flow through the word-frequency table: vocab-keyed "
+        "partial-count agg, in-row higher-order pair generation, "
+        "alphabet²-bounded pair aggregate, TakeOrderedAndProject top-k; "
+        "the round-1 winner re-enters as a broadcast 1-row nested-loop "
+        "side. Measured: no exchange carries the occurrence stream "
+        "(tests/test_shuffle_volume.py)."
+    ),
+    "bigram_lm_score": (
+        "In-row bigram construction (no positional self-join); bigram "
+        "and context counts are vocab-keyed partial aggregates; V is a "
+        "1-row broadcast; the per-doc mean is the only corpus-keyed "
+        "exchange."
+    ),
+    "containment_pairs": (
+        "Same bounded rare-shingle posting machinery as jaccard (one "
+        "shingle shuffle, MAX_DF cap before collect_set, JVM pair "
+        "expansion); directed fanout happens after the integer "
+        "threshold filter."
+    ),
+    "contrastive_negatives": (
+        "Bounded anchor set broadcasts against ONE vector-table scan; "
+        "the md5-nibble gate prunes 15/16 of candidates before any "
+        "cosine arithmetic; per-anchor top-k under WindowGroupLimit."
+    ),
+    "lang_confusion": (
+        "One scan computes the detector argmax inline next to the "
+        "declared label (no doc_id self-join); |langs|²-cell partial "
+        "aggregate."
+    ),
+    "temperature_sample": (
+        "Source-keyed token-mass partial aggregate, 1-row min broadcast, "
+        "per-source threshold frame broadcast back onto the doc stream; "
+        "keep verdict is hash-pure per row — zero corpus sorts."
+    ),
+    "embedding_dim_stats": (
+        "posexplode ×dim fans rows out, but map-side combine collapses "
+        "each task to |dims| cells — the exchange is corpus-size-"
+        "independent, like the sketch family."
+    ),
+    "snapshot_diff": (
+        "Both sides project (doc_id, md5) before the single full-outer "
+        "SortMergeJoin on doc_id — the wide text column never crosses "
+        "the exchange; bucketed tables would make it shuffle-free."
+    ),
+    "media_kind_stats": (
+        "Extraction output → |schemes|-keyed two-phase distinct "
+        "aggregate; nothing corpus-sized shuffles."
+    ),
+    "entity_degree_hist": (
+        "Edge list (vocab-bounded) → degree agg → histogram agg; the "
+        "corpus never re-enters the plan."
+    ),
+    "winsorize_bounds": (
+        "ONE source-keyed window computes ranks and counts together; "
+        "the (source, lo, hi) frame broadcasts back for the clamp — "
+        "exact per-group quantiles pay exactly one per-group sort."
+    ),
+    "dup_rate_by_source": (
+        "Two map-side-combined aggregates: (source, md5) sizes then "
+        "per-source totals; nothing corpus-keyed leaves the second "
+        "exchange."
+    ),
+    "bpe_encode": (
+        "Winner pairs enter as broadcast 1-row nested-loop sides; the "
+        "encode itself is a zero-shuffle in-row aggregate over the scan."
+    ),
 }
 
 
