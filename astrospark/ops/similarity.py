@@ -1147,3 +1147,82 @@ def embedding_dim_stats(spark, sf_dir) -> DataFrame:
             F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sumsq_q"),
         )
     )
+
+
+EVAL_STRIDE = 50  # vec_id % EVAL_STRIDE == 0 marks the held-out eval set
+DECON_COS = 0.30  # contamination threshold on the quantized cosine
+
+
+def semantic_decontaminate(spark, sf_dir) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    ``ops.text.decontaminate_ngram``. N-gram overlap misses paraphrased
+    or re-tokenized eval leakage; the standard counter (e.g. the
+    contamination audits in LLM data pipelines) is a nearest-eval-vector
+    sweep: for every training vector, the max cosine against the eval
+    set plus a threshold flag. Eval membership is deterministic
+    (``vec_id % EVAL_STRIDE == 0``) so the oracle replays it exactly.
+
+    Cross-engine determinism: integer-quantized components (see
+    ``quantize``) make every dot/norm exact in any summation order, so
+    Spark's long fold and DuckDB's ``list_dot_product`` agree bit-for-
+    bit; ties on the ROUNDED score break to the lowest eval_id in both
+    engines.
+
+    Shape for scale: the eval set is benchmark-sized by nature (10^2-
+    10^5 rows), so it broadcasts; the training corpus is scanned ONCE
+    and never self-joins. The per-vector argmax is a map-side-combined
+    ``max(struct(score, -eval_id))`` aggregate keyed on vec_id — the
+    exchange carries at most one partial row per (task, vec_id), and
+    with the scan partitioned on vec_id (the natural layout) AQE
+    collapses it entirely. At 10^12 training rows this is the optimal
+    plan: broadcast-probe + partial-agg, zero corpus-sized shuffles.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        quantize(F.col("embedding").cast("array<double>")).alias("q"),
+    )
+    ev = e.filter(F.col("vec_id") % EVAL_STRIDE == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("q").alias("eq"),
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("en2"),
+    )
+    tr = e.filter(F.col("vec_id") % EVAL_STRIDE != 0).select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("tn2"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("eq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sims = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            qdot.cast("double")
+            / (F.sqrt(F.col("tn2").cast("double")) * F.sqrt(F.col("en2").cast("double"))),
+            4,
+        ).alias("cos_sim"),
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim").alias("s"), (-F.col("eval_id")).alias("ne")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.ne")).cast("bigint").alias("nearest_eval_id"),
+        F.col("b.s").alias("cos_sim"),
+        (F.col("b.s") >= DECON_COS).cast("int").alias("contaminated"),
+    )

@@ -2072,3 +2072,101 @@ def bpe_encode(spark, sf_dir) -> DataFrame:
         .cast("bigint")
         .alias("n_merged"),
     )
+
+
+BOILERPLATE_TOP_K = 20  # report size for the corpus-frequent-gram sweep
+
+
+def boilerplate_ngrams(spark, sf_dir) -> DataFrame:
+    """Corpus-frequent word-3-gram report — the detection half of the
+    CCNet/C4-style repeated-content strip (navigation chrome, license
+    footers, cookie banners recur across thousands of pages; grams whose
+    document frequency is far above background are boilerplate, not
+    content). Emits the top ``BOILERPLATE_TOP_K`` grams by document
+    frequency with occurrence totals and a basis-point df rate; the
+    removal half is a broadcast semi-join of this (tiny) verdict table
+    against the gram stream, exactly like ``decontaminate_ngram``.
+
+    Shape for scale: the gram stream shuffles ONCE on the gram key
+    (inherent — df is a gram-keyed statistic); ``count_distinct`` runs
+    as the two-phase partial-distinct aggregate so map-side combine
+    bounds what the exchange carries; the report is TakeOrdered top-k
+    (no global sort); total_docs enters as a broadcast 1-row side.
+    The (df desc, occ desc, gram asc) ordering is a total order, so
+    both engines pick identical report rows.
+    """
+    d = _docs(spark, sf_dir)
+    sh = F.expr(
+        "CASE WHEN size(ws) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', slice(ws, i + 1, 3))) END"
+    )
+    grams = d.withColumn("ws", F.split("text", " ")).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    total = d.agg(F.count("*").alias("total_docs"))
+    stats = grams.groupBy("shingle").agg(
+        F.count_distinct("doc_id").cast("int").alias("n_docs"),
+        F.count("*").cast("int").alias("n_occ"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            "shingle",
+            "n_docs",
+            "n_occ",
+            F.expr("CAST(n_docs * 10000L DIV total_docs AS INT)").alias("df_bps"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("shingle"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+ZSCORE_OUTLIER = 2.0  # |z| above this marks a length outlier
+
+
+def quality_zscore(spark, sf_dir) -> DataFrame:
+    """Per-source z-score calibration of document length — the
+    cross-source normalization step before mixing heterogeneous crawls
+    (a "long" GitHub file and a "long" tweet are different animals; raw
+    thresholds over-prune one source and under-prune another). The
+    parametric twin of ``winsorize_bounds``' order statistics.
+
+    Cross-engine determinism: per-source count/sum/sum-of-squares are
+    EXACT BIGINTs (n_chars ≤ ~10^4, so n·Q and S² stay far under 2^63
+    through ~10^9 docs per source; beyond that the sums would carry as
+    DECIMAL(38)), and mean/variance/z are then a fixed dag of IEEE
+    double ops on identical integers — bit-identical in both engines,
+    with no float aggregation-order hazard. Degenerate sources (n < 2
+    or zero variance) pin z to 0.0 in both engines.
+
+    Shape for scale: one map-side-combined aggregate to a |sources|-row
+    frame, broadcast back onto the doc stream — zero corpus-sized
+    shuffles, same plan family as ``temperature_sample``.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    j = d.join(F.broadcast(stats), "source")
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    z = (
+        F.col("n_chars").cast("double")
+        - F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(var)
+    z_safe = F.when(
+        (F.col("n") < 2) | (F.col("n") * F.col("s2") == F.col("s1") * F.col("s1")),
+        F.lit(0.0),
+    ).otherwise(F.round(z, 4))
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        z_safe.alias("z"),
+        (F.abs(z_safe) > ZSCORE_OUTLIER).cast("int").alias("len_outlier"),
+    )

@@ -302,6 +302,9 @@ def main() -> None:
         "winsorize_bounds": _text.winsorize_bounds,
         "dup_rate_by_source": _text.dup_rate_by_source,
         "bpe_encode": _text.bpe_encode,
+        "semantic_decontaminate": _similarity.semantic_decontaminate,
+        "boilerplate_ngrams": _text.boilerplate_ngrams,
+        "quality_zscore": _text.quality_zscore,
     }.items():
         rs = []
         for _ in range(REPEATS):

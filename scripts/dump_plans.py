@@ -535,6 +535,22 @@ NOTES = {
         "Winner pairs enter as broadcast 1-row nested-loop sides; the "
         "encode itself is a zero-shuffle in-row aggregate over the scan."
     ),
+    "semantic_decontaminate": (
+        "Benchmark-sized eval set broadcasts; the training corpus is "
+        "scanned once and the per-vector argmax is a map-side-combined "
+        "max(struct) — the exchange carries one partial per (task, "
+        "vec_id), never a corpus self-join."
+    ),
+    "boilerplate_ngrams": (
+        "Gram stream shuffles ONCE on the gram key with two-phase "
+        "partial-distinct df; the report is TakeOrdered top-k under a "
+        "total order and total_docs rides in as a broadcast 1-row side."
+    ),
+    "quality_zscore": (
+        "One map-side-combined aggregate to a |sources|-row integer-"
+        "moment frame, broadcast back onto the doc stream — zero "
+        "corpus-sized shuffles, exact BIGINT moments."
+    ),
 }
 
 

@@ -446,3 +446,68 @@ def test_bpe_encode_hand_values(spark, tmp_path_factory):
     assert (rows[1].n_chars_in, rows[1].n_symbols, rows[1].n_merged) == (6, 4, 2)
     # doc2 "aaaa" -> S S (2 symbols), 4 chars
     assert (rows[2].n_chars_in, rows[2].n_symbols, rows[2].n_merged) == (4, 2, 2)
+
+
+def test_boilerplate_ngrams_hand_values(spark, tmp_path_factory):
+    """3-gram df/occ report replayed by hand; short docs contribute
+    nothing, repeated grams within one doc count occurrences but one
+    document."""
+    docs = [
+        (0, "a b c d"),          # grams: "a b c", "b c d"
+        (1, "a b c a b c"),      # grams: "a b c" x2, "b c a", "c a b"
+        (2, "x y"),              # < 3 words -> no grams
+    ]
+    d = tmp_path_factory.mktemp("boiler")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    from astrospark.ops.text import boilerplate_ngrams
+
+    rows = [tuple(r) for r in boilerplate_ngrams(spark, str(d)).collect()]
+    # total_docs = 3; df_bps = n_docs*10000 DIV 3
+    assert rows == [
+        ("a b c", 2, 3, 6666),
+        ("b c a", 1, 1, 3333),
+        ("b c d", 1, 1, 3333),
+        ("c a b", 1, 1, 3333),
+    ]
+
+
+def test_quality_zscore_scalar_replay(spark, tmp_path_factory):
+    """Per-source z replayed with the identical integer-moment formula;
+    single-doc sources pin z = 0, the planted long doc is the only
+    outlier."""
+    import math
+
+    docs = [(i, "x", "en", "A", c) for i, c in enumerate((10, 20, 30))]
+    docs += [(10, "x", "en", "B", 7)]                       # n=1 -> z=0
+    docs += [(20 + i, "x", "en", "C", 0) for i in range(9)]
+    docs += [(29, "x", "en", "C", 100)]                     # planted outlier
+    d = tmp_path_factory.mktemp("zdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(d / "documents.parquet"))
+    from astrospark.ops.text import quality_zscore
+
+    rows = {r.doc_id: r for r in quality_zscore(spark, str(d)).collect()}
+    assert len(rows) == 14
+
+    by_source = {}
+    for i, _, _, s, c in docs:
+        by_source.setdefault(s, []).append(c)
+    for i, _, _, s, c in docs:
+        vals = by_source[s]
+        n, s1, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+        if n < 2 or n * s2 == s1 * s1:
+            z = 0.0
+        else:
+            sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+            z = round((c - s1 / n) / sd, 4)
+        assert abs(rows[i].z - z) < 1e-9, (i, rows[i].z, z)
+        assert rows[i].len_outlier == int(abs(z) > 2.0)
+    # spot values: source A sd=10 -> z in {-1,0,1}; C's planted 100 is
+    # 90/sqrt(1000) = 2.846 (outlier), its zeros -0.3162 (not)
+    assert (rows[0].z, rows[1].z, rows[2].z) == (-1.0, 0.0, 1.0)
+    assert rows[10].z == 0.0 and rows[10].len_outlier == 0
+    assert rows[29].z == 2.846 and rows[29].len_outlier == 1
+    assert rows[20].z == -0.3162 and rows[20].len_outlier == 0

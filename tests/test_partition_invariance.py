@@ -35,6 +35,11 @@ def _op_cases():
         ("temperature_sample", text.temperature_sample),
         ("containment_pairs", dedup.containment_pairs),
         ("contrastive_negatives", similarity.contrastive_negatives),
+        # the argmax tie-break, top-k total order, and broadcast-back
+        # moment frames must hold under any layout re-pick
+        ("semantic_decontaminate", similarity.semantic_decontaminate),
+        ("boilerplate_ngrams", text.boilerplate_ngrams),
+        ("quality_zscore", text.quality_zscore),
     ]
 
 

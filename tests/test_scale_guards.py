@@ -559,3 +559,51 @@ def test_snapshot_diff_statuses(spark):
             assert status == "changed", doc_id
         else:
             assert status == "same", doc_id
+
+
+def test_semantic_decontaminate_numpy_replay(spark, tmp_path_factory):
+    """Full scalar replay of the nearest-eval-vector sweep: quantized
+    int64 dot/norms, rounded-score argmax with the lowest-eval_id
+    tie-break, threshold flag — plus a planted exact eval copy that
+    must flag contaminated at cos ~ 1."""
+    import numpy as np
+
+    from astrospark.ops.similarity import (
+        DECON_COS,
+        EVAL_STRIDE,
+        QUANT_SCALE,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 120, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs[51] = vecs[50]  # train 51 duplicates eval 50 exactly
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    d = tmp_path_factory.mktemp("decon")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(d / "embeddings.parquet")
+    )
+
+    got = {r.vec_id: r for r in semantic_decontaminate(spark, str(d)).collect()}
+
+    q = np.floor(vecs.astype("float64") * QUANT_SCALE)
+    evals = [i for i in range(n) if i % EVAL_STRIDE == 0]
+    trains = [i for i in range(n) if i % EVAL_STRIDE != 0]
+    assert set(got) == set(trains)
+    for t in trains:
+        best = None
+        for e in evals:
+            cos = round(
+                float(q[t] @ q[e])
+                / (np.sqrt(float(q[t] @ q[t])) * np.sqrt(float(q[e] @ q[e]))),
+                4,
+            )
+            if best is None or cos > best[0] or (cos == best[0] and e < best[1]):
+                best = (cos, e)
+        r = got[t]
+        assert r.nearest_eval_id == best[1], (t, r, best)
+        assert abs(r.cos_sim - best[0]) < 1e-6
+        assert r.contaminated == int(best[0] >= DECON_COS)
+    assert got[51].nearest_eval_id == 50 and got[51].contaminated == 1
+    assert got[51].cos_sim > 0.999
