@@ -6,7 +6,7 @@ and prints ONE COMPACT JSON line:
 The stdout line carries ONLY the headline payload (VERDICT r3 "Next
 round" #2 — r3's line outgrew the driver's tail-capture window and the
 official artifact lost its headline value to truncation). Everything
-else — per-query raw repeats, the 22 extra-query timings, full CPU
+else — per-query raw repeats, the extra-query timings (66 ops), full CPU
 control blocks, service latency — goes to BENCH/bench_detail.json.
 
 Noise defense (VERDICT r2 "Next round" #1 — this sandbox VM's wall-clock
