@@ -2087,11 +2087,12 @@ def boilerplate_ngrams(spark, sf_dir) -> DataFrame:
     removal half is a broadcast semi-join of this (tiny) verdict table
     against the gram stream, exactly like ``decontaminate_ngram``.
 
-    Shape for scale: the gram stream shuffles ONCE on the gram key
-    (inherent — df is a gram-keyed statistic); ``count_distinct`` runs
-    as the two-phase partial-distinct aggregate so map-side combine
-    bounds what the exchange carries; the report is TakeOrdered top-k
-    (no global sort); total_docs enters as a broadcast 1-row side.
+    Shape for scale: the gram stream is shuffled only for the df
+    statistic (inherent — df is gram-keyed); ``count_distinct`` +
+    ``count`` plan as Spark's standard two-exchange partial-distinct
+    (keyed (gram, doc) then gram), each map-side-combined so exchanges
+    carry distinct pairs, not raw occurrences; the report is TakeOrdered
+    top-k (no global sort); total_docs enters as a broadcast 1-row side.
     The (df desc, occ desc, gram asc) ordering is a total order, so
     both engines pick identical report rows.
     """

@@ -542,9 +542,10 @@ NOTES = {
         "vec_id), never a corpus self-join."
     ),
     "boilerplate_ngrams": (
-        "Gram stream shuffles ONCE on the gram key with two-phase "
-        "partial-distinct df; the report is TakeOrdered top-k under a "
-        "total order and total_docs rides in as a broadcast 1-row side."
+        "Gram stream shuffled only for the df statistic — the standard "
+        "two-exchange partial-distinct, carrying distinct (gram, doc) "
+        "pairs rather than raw occurrences; the report is TakeOrdered "
+        "top-k and total_docs rides in as a broadcast 1-row side."
     ),
     "quality_zscore": (
         "One map-side-combined aggregate to a |sources|-row integer-"

@@ -217,3 +217,50 @@ def test_bigram_lm_aggregate_exchanges_bounded(no_aqe):
     # — but still a multiple, and it GROWS with corpus size (vocab
     # saturates, occurrences don't)
     assert worst <= occ / 5, (worst, occ)
+
+
+def test_zscore_and_decontaminate_exchanges_bounded(no_aqe):
+    """quality_zscore's single exchange carries source-moment partials
+    (|sources| x task slack), never doc rows; semantic_decontaminate's
+    single exchange carries at most one argmax partial per training
+    vector — the eval cross-expansion (n_train x n_eval rows) never
+    shuffles."""
+    from astrospark.ops import similarity as S
+    from astrospark.ops import text as T
+
+    spark = no_aqe
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+
+    exs = _exchanges(T.quality_zscore(spark, SF))
+    assert len(exs) == 1, exs  # the moment agg; the join side broadcasts
+    assert exs[0][0] <= N_SOURCES * 64, exs
+    assert exs[0][0] <= n_docs / 10, (exs, n_docs)
+
+    from astrospark.ops.similarity import EVAL_STRIDE
+
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    n_eval = sum(1 for _ in range(0, n_vecs, EVAL_STRIDE))
+    n_train = n_vecs - n_eval
+    exs = _exchanges(S.semantic_decontaminate(spark, SF))
+    assert len(exs) == 1, exs  # the argmax agg; the eval side broadcasts
+    # per-task partial slack over the one-row-per-vector ideal
+    assert exs[0][0] <= n_train * 8, (exs, n_train)
+    # and far below the broadcast-join expansion it collapses
+    assert exs[0][0] <= n_train * n_eval / 5, (exs, n_train, n_eval)
+
+
+def test_boilerplate_report_is_take_ordered(no_aqe):
+    """boilerplate_ngrams' top-k must compile to TakeOrderedAndProject
+    (no global-sort exchange); the gram exchanges carry distinct
+    (gram, doc) partials, bounded by the occurrence stream."""
+    from astrospark.ops import text as T
+
+    spark = no_aqe
+    occ = _occurrences(spark)
+    df = T.boilerplate_ngrams(spark, SF)
+    exs = _exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    big = [r for r, _ in exs if r > 100]
+    assert len(big) == 2, exs  # the two-phase partial-distinct pair
+    assert all(r <= occ * 2 for r in big), (big, occ)
