@@ -179,3 +179,41 @@ def test_ivfadc_is_adc_restricted_to_probed_cell(spark):
     assert got[: len(full_cellmates)] == full_cellmates
     # distances ascend with vec_id tie-break
     assert got == sorted(got, key=lambda t: (t[1], t[0]))
+
+
+def test_indexed_ivfadc_matches_in_query_and_prunes(spark, tmp_path):
+    """build_ann_index + ann_ivfadc_topk_indexed must return the exact
+    rows of the in-query ann_ivfadc_topk at the same knobs, and the
+    probe's code scan must statically prune to the probed cells'
+    partitions (the 100 TB IO story)."""
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.similarity import (
+        PQ_ORACLE_K,
+        PQ_ORACLE_M,
+        ann_ivfadc_topk,
+        ann_ivfadc_topk_indexed,
+        build_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "annidx")
+    build_ann_index(spark, sf, idx, m=PQ_ORACLE_M, k=PQ_ORACLE_K)
+
+    for q, nprobe in ((0, 1), (7, 2)):
+        want = ann_ivfadc_topk(
+            spark, sf, query_vec_id=q, nprobe=nprobe, m=PQ_ORACLE_M, k=PQ_ORACLE_K
+        ).collect()
+        got_df = ann_ivfadc_topk_indexed(
+            spark, idx, sf, query_vec_id=q, nprobe=nprobe, m=PQ_ORACLE_M
+        )
+        assert [tuple(r) for r in got_df.collect()] == [tuple(r) for r in want]
+
+    release_caches()
+    # pruning evidence: the cell filter reaches the scan as a partition
+    # filter (static pruning — no training, no corpus-wide file list)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and ZERO training in the query plan: the in-query variant's
+    # Lloyd/encode argmins all run through row_number windows — the
+    # indexed probe must have none
+    assert "Window" not in plan and "row_number" not in plan
