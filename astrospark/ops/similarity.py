@@ -1153,48 +1153,45 @@ EVAL_STRIDE = 50  # vec_id % EVAL_STRIDE == 0 marks the held-out eval set
 DECON_COS = 0.30  # contamination threshold on the quantized cosine
 
 
-def semantic_decontaminate(spark, sf_dir) -> DataFrame:
-    """Embedding-level benchmark decontamination — the semantic twin of
-    ``ops.text.decontaminate_ngram``. N-gram overlap misses paraphrased
-    or re-tokenized eval leakage; the standard counter (e.g. the
-    contamination audits in LLM data pipelines) is a nearest-eval-vector
-    sweep: for every training vector, the max cosine against the eval
-    set plus a threshold flag. Eval membership is deterministic
-    (``vec_id % EVAL_STRIDE == 0``) so the oracle replays it exactly.
-
-    Cross-engine determinism: integer-quantized components (see
-    ``quantize``) make every dot/norm exact in any summation order, so
-    Spark's long fold and DuckDB's ``list_dot_product`` agree bit-for-
-    bit; ties on the ROUNDED score break to the lowest eval_id in both
-    engines.
-
-    Shape for scale: the eval set is benchmark-sized by nature (10^2-
-    10^5 rows), so it broadcasts; the training corpus is scanned ONCE
-    and never self-joins. The per-vector argmax is a map-side-combined
-    ``max(struct(score, -eval_id))`` aggregate keyed on vec_id — the
-    exchange carries at most one partial row per (task, vec_id), and
-    with the scan partitioned on vec_id (the natural layout) AQE
-    collapses it entirely. At 10^12 training rows this is the optimal
-    plan: broadcast-probe + partial-agg, zero corpus-sized shuffles.
-    """
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        quantize(F.col("embedding").cast("array<double>")).alias("q"),
-    )
-    ev = e.filter(F.col("vec_id") % EVAL_STRIDE == 0).select(
+def decon_eval_frame(emb_df: DataFrame) -> DataFrame:
+    """(eval_id, eq, en2) eval-side frame for the decontamination
+    screen: quantized components + precomputed squared norm. Eval
+    membership is deterministic (``vec_id % EVAL_STRIDE == 0``) so the
+    oracle replays it. Benchmark-sized by nature (10^2-10^5 rows), so
+    every consumer broadcasts it; the streaming twin persists it once
+    and reuses it across micro-batches (the stored-eval-table shape at
+    scale)."""
+    q = quantize(F.col("embedding").cast("array<double>"))
+    return emb_df.filter(F.col("vec_id") % EVAL_STRIDE == 0).select(
         F.col("vec_id").alias("eval_id"),
-        F.col("q").alias("eq"),
+        q.alias("eq"),
         F.aggregate(
-            F.transform(F.col("q"), lambda x: x * x),
+            F.transform(q, lambda x: x * x),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("en2"),
     )
-    tr = e.filter(F.col("vec_id") % EVAL_STRIDE != 0).select(
+
+
+def screen_decontaminate(train_emb: DataFrame, eval_frame: DataFrame) -> DataFrame:
+    """The decontamination screen core, shared by the batch contract
+    row and the streaming twin: per training vector, the max quantized
+    cosine against the (broadcast) eval frame plus the threshold flag.
+    Verdicts are per-vector given the eval frame — no train x train
+    interaction — so the screen composes over arbitrary input splits
+    (micro-batches) with no state; ties on the ROUNDED score break to
+    the lowest eval_id in both engines.
+
+    Shape for scale: one scan of ``train_emb``, broadcast-probe against
+    the eval frame, map-side-combined max(struct) argmax — the exchange
+    carries at most one partial per (task, vec_id) (measured:
+    tests/test_shuffle_volume.py); zero corpus-sized shuffles."""
+    q = quantize(F.col("embedding").cast("array<double>"))
+    tr = train_emb.select(
         "vec_id",
-        "q",
+        q.alias("q"),
         F.aggregate(
-            F.transform(F.col("q"), lambda x: x * x),
+            F.transform(q, lambda x: x * x),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("tn2"),
@@ -1204,7 +1201,7 @@ def semantic_decontaminate(spark, sf_dir) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    sims = tr.crossJoin(F.broadcast(ev)).select(
+    sims = tr.crossJoin(F.broadcast(eval_frame)).select(
         "vec_id",
         "eval_id",
         F.round(
@@ -1226,6 +1223,29 @@ def semantic_decontaminate(spark, sf_dir) -> DataFrame:
         F.col("b.s").alias("cos_sim"),
         (F.col("b.s") >= DECON_COS).cast("int").alias("contaminated"),
     )
+
+
+def semantic_decontaminate(spark, sf_dir) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    ``ops.text.decontaminate_ngram``. N-gram overlap misses paraphrased
+    or re-tokenized eval leakage; the standard counter (e.g. the
+    contamination audits in LLM data pipelines) is a nearest-eval-vector
+    sweep: for every training vector, the max cosine against the eval
+    set plus a threshold flag (``screen_decontaminate``; the
+    ``EVAL_STRIDE`` split makes eval membership oracle-replayable).
+
+    Cross-engine determinism: integer-quantized components (see
+    ``quantize``) make every dot/norm exact in any summation order, so
+    Spark's long fold and DuckDB's ``list_dot_product`` agree bit-for-
+    bit. At 10^12 training rows the broadcast-probe + partial-agg plan
+    is optimal: zero corpus-sized shuffles (see the core's docstring);
+    the streaming twin (``streaming.incremental``) runs the same core
+    per micro-batch against one persisted eval frame."""
+    e = _emb(spark, sf_dir)
+    return screen_decontaminate(
+        e.filter(F.col("vec_id") % EVAL_STRIDE != 0), decon_eval_frame(e)
+    )
+
 
 
 def build_ann_index(

@@ -35,8 +35,11 @@ from astrospark.ops.dedup import MAX_BUCKET_DEFAULT, minhash_signature, screen_b
 from astrospark.streaming.sketches import stream_documents_from_dir
 
 __all__ = [
+    "build_eval_frame",
     "build_index_signatures",
+    "stream_decontaminate_to_parquet",
     "stream_documents_from_dir",
+    "stream_embeddings_from_dir",
     "stream_screen_to_parquet",
 ]
 
@@ -71,6 +74,65 @@ def stream_screen_to_parquet(
             screen_batch(batch_df, index_sig, max_bucket=max_bucket).write.mode(
                 "append"
             ).parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+EMBEDDINGS_SCHEMA_DDL = "vec_id bigint, embedding array<float>"
+
+
+def stream_embeddings_from_dir(spark, input_dir: str, max_files: int = 32) -> DataFrame:
+    """File-source stream of embeddings-table parquet (the driver
+    testdata shape: vec_id/embedding) — the decontamination twin's
+    arrival source."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def build_eval_frame(emb_df: DataFrame) -> DataFrame:
+    """The stored eval artifact for streaming decontamination:
+    ``similarity.decon_eval_frame`` persisted once and broadcast into
+    every micro-batch's screen — at scale this is the benchmark-eval
+    table written at eval-set freeze, not a block-manager cache."""
+    from astrospark.ops.similarity import decon_eval_frame
+
+    return scoped_persist(decon_eval_frame(emb_df))
+
+
+def stream_decontaminate_to_parquet(
+    spark,
+    input_dir: str,
+    eval_frame: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 1,
+):
+    """Screen a parquet-file stream of training embeddings against
+    ``eval_frame``, appending one verdict row per arriving vector to
+    ``out_dir`` — the streaming twin of ``semantic_decontaminate``,
+    running the SAME ``screen_decontaminate`` core per micro-batch.
+    Verdicts are per-vector given the eval frame (no train x train
+    interaction), so the drained verdict table equals the batch
+    operator's output row-for-row (tests/test_streaming_incremental.py)
+    — the same drain-equals-batch guarantee as the dedup screen above.
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from astrospark.ops.similarity import screen_decontaminate
+
+    stream = stream_embeddings_from_dir(spark, input_dir, max_files=max_files)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        with cache_scope():
+            screen_decontaminate(batch_df, eval_frame).write.mode("append").parquet(
+                out_dir
+            )
 
     return (
         stream.writeStream.foreachBatch(handle)

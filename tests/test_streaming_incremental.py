@@ -65,3 +65,36 @@ def test_stream_screen_equals_batch_operator(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     want = sorted(map(tuple, dedup_incremental(spark, SF, max_bucket=None).collect()))
     assert got == want
+
+
+def test_stream_decontaminate_equals_batch_operator(spark, tmp_path):
+    """Streaming semantic decontamination == batch contract row,
+    row-for-row: training vectors arrive as a multi-micro-batch file
+    stream, screened per batch against the one persisted eval frame
+    by the SAME screen_decontaminate core."""
+    from astrospark.ops.similarity import EVAL_STRIDE, semantic_decontaminate
+    from astrospark.streaming.incremental import (
+        build_eval_frame,
+        stream_decontaminate_to_parquet,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    stream_in = str(tmp_path / "arrivals")
+    (
+        e.filter((F.col("vec_id") % EVAL_STRIDE) != 0)
+        .select("vec_id", "embedding")
+        .repartition(3)
+        .write.parquet(stream_in)
+    )
+
+    eval_frame = build_eval_frame(e)
+    out_dir = str(tmp_path / "verdicts")
+    q = stream_decontaminate_to_parquet(
+        spark, stream_in, eval_frame, out_dir, str(tmp_path / "ck"), max_files=1
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # genuinely multi-micro-batch
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, semantic_decontaminate(spark, SF).collect()))
+    assert got == want
