@@ -1257,11 +1257,14 @@ def build_ann_index(
     10^12-vector deployment trains ONCE and probes forever, per the
     kmeans_cells/pq_codes docstrings and VERDICT r3's plan audit).
 
-    Three tables:
+    Four tables:
 
     - ``cells.parquet`` — (vec_id, cell, rnk) coarse-quantizer ranking
       (rnk=1 is membership; a query row's rnk ≤ nprobe is its probe
       list).
+    - ``centroids.parquet`` — (cid, qc) trained coarse centroids
+      (N_CENTROIDS rows) — what a NEW query vector scores against to
+      pick its probe cells (``ann_ivfadc_topk_vector``).
     - ``codebooks.parquet`` — (m, code, qc) trained PQ codewords
       (m·k rows; broadcast-sized by construction).
     - ``codes_by_cell.parquet`` — the compressed payload (vec_id, m,
@@ -1276,6 +1279,9 @@ def build_ann_index(
     ``ann_ivfadc_topk_indexed`` returns bit-identical results."""
     cells = kmeans_cells(spark, sf_dir)
     cells.write.mode("overwrite").parquet(f"{index_dir}/cells.parquet")
+    kmeans_centroids(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids.parquet"
+    )
     cents = pq_codebooks(spark, sf_dir, m=m, k=k)
     cents.write.mode("overwrite").parquet(f"{index_dir}/codebooks.parquet")
     member = cells.filter(F.col("rnk") == 1).select("vec_id", "cell")
@@ -1328,6 +1334,69 @@ def ann_ivfadc_topk_indexed(
         spark.read.parquet(f"{index_dir}/codes_by_cell.parquet")
         .filter(F.col("cell").isin([int(c) for c in probe]))
         .filter(F.col("vec_id") != query_vec_id)
+    )
+    return (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def ann_ivfadc_topk_vector(
+    spark, index_dir: str, query_vec, nprobe: int = 1
+) -> DataFrame:
+    """Probe a ``build_ann_index`` output with a NEW query vector — the
+    production shape (queries are fresh embeddings, not corpus rows;
+    FAISS's ``index.search`` semantics). No corpus table is touched at
+    all: the probe needs only the four index tables.
+
+    Driver-side work is bounded by INDEX METADATA, never corpus size —
+    exactly how a FAISS coarse probe works: quantize the query
+    (identical floor(x·1000) to the Spark side), score the N_CENTROIDS
+    stored centroids with the same qdot/sqrt(|c|²) ranking and (score
+    desc, cid asc) tie-break as ``kmeans_cells``, build the m·k ADC
+    distance table from the stored codebooks as exact ints. The
+    cluster-side plan is then one statically-pruned scan of the probed
+    cells' code partitions + a broadcast table join + partial-agg
+    TakeOrdered — identical to ``ann_ivfadc_topk_indexed``.
+
+    No self-exclusion (the query is not a corpus row); an in-corpus
+    vector passed here will surface itself at ADC distance ~0."""
+    import math
+
+    qv = [int(math.floor(float(x) * QUANT_SCALE)) for x in query_vec]
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    ranked = sorted(
+        (
+            -(
+                sum(a * b for a, b in zip(qv, r.qc))
+                / math.sqrt(sum(c * c for c in r.qc))
+            ),
+            int(r.cid),
+        )
+        for r in cents
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    books = spark.read.parquet(f"{index_dir}/codebooks.parquet").collect()
+    m_count = max(int(r.m) for r in books) + 1
+    sub = len(qv) // m_count
+    rows = [
+        (
+            int(r.m),
+            int(r.code),
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qv[int(r.m) * sub : (int(r.m) + 1) * sub], r.qc)
+            ),
+        )
+        for r in books
+    ]
+    table = spark.createDataFrame(rows, "m int, code int, qd long")
+    codes = spark.read.parquet(f"{index_dir}/codes_by_cell.parquet").filter(
+        F.col("cell").isin(probe)
     )
     return (
         codes.join(F.broadcast(table), ["m", "code"])

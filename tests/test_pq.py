@@ -217,3 +217,75 @@ def test_indexed_ivfadc_matches_in_query_and_prunes(spark, tmp_path):
     # Lloyd/encode argmins all run through row_number windows — the
     # indexed probe must have none
     assert "Window" not in plan and "row_number" not in plan
+
+
+def test_vector_probe_numpy_replay(spark, tmp_path):
+    """ann_ivfadc_topk_vector replayed scalar: probe-cell selection
+    must match the stored assignment for an in-corpus query vector, and
+    the ADC top-k must equal a full numpy replay over the probed cells
+    (no self-exclusion — the query vector surfaces itself at ~0)."""
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.similarity import (
+        PQ_ORACLE_K,
+        PQ_ORACLE_M,
+        TOP_K,
+        ann_ivfadc_topk_vector,
+        build_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "annidx")
+    build_ann_index(spark, sf, idx, m=PQ_ORACLE_M, k=PQ_ORACLE_K)
+    release_caches()
+
+    q_id, nprobe = 7, 2
+    qvec = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(f"vec_id = {q_id}")
+        .collect()[0]
+        .embedding
+    )
+    got = [
+        tuple(r)
+        for r in ann_ivfadc_topk_vector(spark, idx, qvec, nprobe=nprobe).collect()
+    ]
+
+    # probe-list parity: driver-side centroid ranking == stored rnk<=nprobe
+    cells = {
+        r.rnk: r.cell
+        for r in spark.read.parquet(f"{idx}/cells.parquet")
+        .filter(f"vec_id = {q_id} and rnk <= {nprobe}")
+        .collect()
+    }
+    want_probe = {cells[r] for r in cells}
+
+    import math
+
+    qv = [int(math.floor(float(x) * 1000)) for x in qvec]
+    member = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(f"{idx}/cells.parquet").filter("rnk = 1").collect()
+    }
+    codes = {}
+    for r in spark.read.parquet(f"{idx}/codes_by_cell.parquet").collect():
+        codes.setdefault(r.vec_id, {})[r.m] = r.code
+    books = {
+        (r.m, r.code): list(r.qc)
+        for r in spark.read.parquet(f"{idx}/codebooks.parquet").collect()
+    }
+    sub = len(qv) // PQ_ORACLE_M
+    expected = []
+    for vid, cell in member.items():
+        if cell not in want_probe:
+            continue
+        adist = sum(
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qv[mi * sub : (mi + 1) * sub], books[(mi, codes[vid][mi])])
+            )
+            for mi in range(PQ_ORACLE_M)
+        )
+        expected.append((adist, vid))
+    expected.sort()
+    assert got == [(v, d) for d, v in expected[:TOP_K]]
+    assert got[0][0] == q_id  # the in-corpus query surfaces itself first
