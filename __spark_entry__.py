@@ -173,7 +173,88 @@ def _entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-5 driver-window rotation (VERDICT r4 "Next round" #2 + SURVEY
+# round-5 prep (a)): the driver value-checks only the FIRST 50 queries()
+# entries, so the window rotates each round toward the rows whose last
+# driver check is OLDEST. This round promotes every tail row whose last
+# driver-green artifact is r1-r3 (including the r2-era ANN family —
+# ann_ivf_topk / ann_ivf_kmeans got their last driver check in r2) and
+# demotes the 48 rows that went driver-green in CORRECTNESS_r04. Pinned
+# in-window regardless of age: extract_flagship (the flagship extraction
+# value-hash) and trailing_window_agg (the r4 red row — its HUGEINT
+# oracle fix needs a fresh driver artifact). Eight r1-r3-green rows
+# stay in the tail for lack of slots — chosen as the ones with the
+# freshest independent signal (extract_interleaved / emb_neardup_pairs /
+# knn_join / ann_ivf_kmeans_topk were judge-recheck-green in r4;
+# extraction_kind_counts / m_decode_stub / simhash16 / dedup_minhash_lsh
+# are triple-green r1+r2+r3 golden/stable rows). Audit:
+# scripts/audit_window.py (tail-never-green must stay empty).
+_R5_WINDOW = [
+    "extract_flagship",
+    "trailing_window_agg",
+    # oldest driver signal first: last green r2
+    "ann_ivf_topk",
+    "ann_rp_topk",
+    "emb_neardup_banded",
+    "dedup_simhash_pairs",
+    # last green r3 (r1-era long-green family + round-3 rows)
+    "p1_whitespace_normalize",
+    "p2_blank_filter",
+    "t1_ws_token_stats",
+    "t2_regex_token_count",
+    "s3_sentence_chunks",
+    "j1_dict_semijoin",
+    "o1_top_docs",
+    "o3_corpus_split",
+    "a4_source_stats",
+    "quality_score",
+    "b1_boilerplate_strip",
+    "lang_id_stopwords",
+    "fingerprint_md5",
+    "fingerprint_rolling",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_keep_best",
+    "dedup_substring_pairs",
+    "corpus_curation",
+    "repetition_filters",
+    "decontaminate_ngram",
+    "sample_stratified",
+    "pack_sequences",
+    "importance_weights",
+    "source_quality_gate",
+    "bm25_topk",
+    "perplexity_filter",
+    "hll_distinct_words",
+    "pii_redact",
+    "corpus_stats_rollup",
+    "token_cooccurrence",
+    "cooccur_pagerank",
+    "r1_pricing_summary",
+    "r2_segment_revenue",
+    "r3_priority_with_lineitems",
+    "w1_event_windows",
+    "w2_user_sessions",
+    "f_json_extract",
+    "asof_attribution",
+    "m_resize_plan",
+    "m_frame_sample",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing contract: the r5 window order imposed over the full
+    inventory (the driver value-checks the first 50 entries only)."""
+    q = _base_queries()
+    ordered = {name: q.pop(name) for name in _R5_WINDOW}
+    ordered.update(q)  # tail keeps its r4 relative order (all r4-green)
+    return ordered
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from astrospark.ops import (
         curation,
         dedup,
@@ -1958,8 +2039,17 @@ def _tfidf_sql() -> str:
 
 def _trailing_window_sql() -> str:
     """ANSI RANGE frame replay: both engines include all peer rows of
-    an equal order key, and the session-TZ offset in the integer time
-    key cancels inside the frame bound (no absolute time emitted)."""
+    an equal order key; the Spark side pins a UTC session TZ internally
+    (ops/events.py utc_scope) so the integer time key equals DuckDB's
+    naive epoch_us exactly — no reliance on offset cancellation.
+
+    The window sum MUST be cast: DuckDB widens sum(BIGINT) OVER w to
+    HUGEINT (int128) — the only such column in the whole contract (r4
+    post-mortem) — and HUGEINT degrades to float64/decimal128 under
+    pandas/arrow fetch, so a fetch-path-dependent harness hashes
+    '123.0' vs Spark's int64 '123' even though every value is equal.
+    CAST(... AS BIGINT) makes both engines emit int64 (values are
+    trailing-24h cent sums — nowhere near the int64 range)."""
     from astrospark.ops.events import TRAIL_BURST_N, TRAIL_WINDOW_US
 
     return (
@@ -1967,7 +2057,7 @@ def _trailing_window_sql() -> str:
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
         "SELECT event_id, user_id, "
         "CAST(count(*) OVER w AS INT) AS n_trail_1d, "
-        "sum(cents) OVER w AS cents_trail_1d, "
+        "CAST(sum(cents) OVER w AS BIGINT) AS cents_trail_1d, "
         f"CAST(count(*) OVER w >= {TRAIL_BURST_N} AS INT) AS is_burst "
         "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t_us "
         f"RANGE BETWEEN {TRAIL_WINDOW_US} PRECEDING AND CURRENT ROW)"

@@ -10,6 +10,7 @@ docs), and shuffle partitions sized to cores — not the 200 default.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -48,3 +49,39 @@ def build_session(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def utc_scope(spark: SparkSession):
+    """Pin ``spark.sql.session.timeZone = UTC`` for the duration of a
+    plan-building block, then restore the caller's setting (the same
+    set-and-restore shape as footer_stats' conf handling,
+    ops/layout.py).
+
+    Why: the events table stores TIMESTAMP_NTZ, and every
+    ``cast(ts as timestamp)`` / ``unix_timestamp(ts)`` interprets the
+    wall-clock value in the SESSION time zone. A constant offset
+    cancels inside frame bounds and differences, but a DST-transitioning
+    zone makes the wall→epoch map non-linear: two events 24.5 wall-hours
+    apart straddling a spring-forward compress to a 23.5h epoch gap and
+    a trailing-24h RANGE frame flips (diverging from the DuckDB oracle's
+    naive epoch_us). Pinning UTC makes unix_micros ≡ epoch_us exactly,
+    for ANY caller session TZ.
+
+    Scoping is sound because PySpark analyzes plans EAGERLY at each
+    transformation (Spark's ResolveTimeZone fills the expression's
+    timeZoneId from the session conf at analysis time and never
+    overwrites a resolved one), so DataFrames built inside the block
+    keep UTC semantics after the conf is restored — asserted by
+    tests/test_range_skew.py's DST regression.
+    """
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -2,22 +2,50 @@
 gap-based sessionization, and JSON scalar extraction — the generic
 pipeline capabilities a training-data ingestion system needs around the
 extraction core. All portable to the DuckDB oracle (epoch-bucket windows,
-lag/sum window functions, json string extraction)."""
+lag/sum window functions, json string extraction).
+
+Every op that maps the NTZ ``ts`` column to epoch integers
+(``unix_micros`` / ``unix_timestamp``) is ``@_utc_pinned``: the mapping
+runs under a scoped UTC session TZ (engine/session.utc_scope), so
+``unix_micros ≡ DuckDB epoch_us`` EXACTLY for any caller session. The
+previous contract — "the session-TZ offset cancels inside frame bounds /
+differences" — is only true for constant offsets; under a DST-transitioning
+session TZ the wall→epoch map is non-linear and a trailing RANGE frame
+flips near the transition (r4 post-mortem; regression fixture in
+tests/test_range_skew.py). Bucketing ops (hour/day DIV) need UTC even for
+constant offsets."""
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astrospark.engine.session import utc_scope
 from astrospark.ops.caching import scoped_persist
 
 SESSION_GAP_MIN = 30
+
+
+def _utc_pinned(fn):
+    """Build the op's whole plan under a scoped UTC session TZ (eager
+    PySpark analysis bakes the zone into every cast/unix_* expression;
+    the caller's conf is restored before returning)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir, *args, **kwargs):
+        with utc_scope(spark):
+            return fn(spark, sf_dir, *args, **kwargs)
+
+    return wrapper
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+@_utc_pinned
 def w1_event_windows(spark, sf_dir) -> DataFrame:
     """Tumbling 1-hour windows per event_type: counts + value sums."""
     e = _events(spark, sf_dir)
@@ -31,6 +59,7 @@ def w1_event_windows(spark, sf_dir) -> DataFrame:
     )
 
 
+@_utc_pinned
 def w2_user_sessions(spark, sf_dir) -> DataFrame:
     """Gap-based sessionization: a session breaks after >30 min idle;
     output = sessions per user (lag + running sum of break flags)."""
@@ -61,6 +90,7 @@ def f_json_extract(spark, sf_dir) -> DataFrame:
     )
 
 
+@_utc_pinned
 def asof_attribution(spark, sf_dir) -> DataFrame:
     """As-of join: attribute every purchase to the user's most recent
     click at-or-before it (last-touch attribution) — the point-in-time
@@ -84,8 +114,8 @@ def asof_attribution(spark, sf_dir) -> DataFrame:
     purchases with no prior click keep NULL-free sentinels (-1).
     """
     e = _events(spark, sf_dir)
-    # parquet ts loads as TIMESTAMP_NTZ; only *differences* of t_us are
-    # emitted, so the session-TZ offset introduced by the cast cancels
+    # parquet ts loads as TIMESTAMP_NTZ; @_utc_pinned makes the cast a
+    # pure reinterpretation, so t_us == DuckDB epoch_us exactly
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     clicks = (
         e.filter(F.col("event_type") == "click")
@@ -178,6 +208,7 @@ def point_in_interval_join(
     )
 
 
+@_utc_pinned
 def interval_join(spark, sf_dir) -> DataFrame:
     """Incident enrichment: for each error event, how many purchases
     (and how much purchase value) landed in the hour that followed —
@@ -210,6 +241,7 @@ def interval_join(spark, sf_dir) -> DataFrame:
 FUNNEL_STAGES = ("signup", "click", "purchase")
 
 
+@_utc_pinned
 def funnel_stages(spark, sf_dir) -> DataFrame:
     """Ordered-funnel analysis: how far does each user get through
     signup -> click -> purchase, where each stage must occur AT OR
@@ -278,6 +310,7 @@ def funnel_stages(spark, sf_dir) -> DataFrame:
 COHORT_DAY_US = 86_400_000_000  # cohort bucket: one day, in microseconds
 
 
+@_utc_pinned
 def cohort_retention(spark, sf_dir) -> DataFrame:
     """Cohort retention matrix: bucket each user into the cohort of
     their FIRST event day, then count users active at each day offset
@@ -334,6 +367,7 @@ TRAIL_WINDOW_US = 86_400_000_000  # trailing 24 h, in microseconds
 TRAIL_BURST_N = 4                 # events in-window at/above which = burst
 
 
+@_utc_pinned
 def trailing_window_agg(spark, sf_dir) -> DataFrame:
     """Per-event trailing-24h activity features over each user's event
     stream — the sliding RANGE-frame family (velocity / rate-limit /
@@ -346,9 +380,10 @@ def trailing_window_agg(spark, sf_dir) -> DataFrame:
     the RANGE frame [t - W, t] evaluates as a sliding two-pointer pass
     per partition (Spark's bounded-frame WindowExec) — no self-join, no
     explode, rows never multiply, state is the in-frame aggregate only.
-    Times compare as microsecond integers (unix_micros ≡ DuckDB
-    epoch_us up to a constant session-TZ offset that cancels inside the
-    frame bound; no absolute time is emitted). Peer rows with equal
+    Times compare as microsecond integers (@_utc_pinned ⇒ unix_micros ≡
+    DuckDB epoch_us EXACTLY — offset "cancellation" is not relied on,
+    since a DST-transitioning session TZ breaks it; r4 post-mortem +
+    tests/test_range_skew.py DST fixture). Peer rows with equal
     timestamps enter the frame TOGETHER in both engines (RANGE includes
     all peers — ANSI), so ties need no tie-break column. Value
     accumulates as exact integer cents (order-free), and the burst flag
@@ -380,6 +415,7 @@ def trailing_window_agg(spark, sf_dir) -> DataFrame:
 SCD2_OPEN_US = -1  # sentinel for a still-open validity interval
 
 
+@_utc_pinned
 def scd2_intervals(spark, sf_dir) -> DataFrame:
     """Type-2 slowly-changing-dimension build from a change stream — the
     CDC-compaction primitive every warehouse ingestion pipeline runs:
@@ -401,9 +437,9 @@ def scd2_intervals(spark, sf_dir) -> DataFrame:
     per-user quadratic that melts on power users.
 
     Cross-engine exactness: times are emitted RELATIVE to each user's
-    first event (``t_us - min(t_us) OVER user``), so the session-TZ
-    offset inside ``unix_micros``/``epoch_us`` cancels (same trick as
-    ``trailing_window_agg``); ties on equal timestamps break on the
+    first event (``t_us - min(t_us) OVER user``) and @_utc_pinned makes
+    ``unix_micros`` ≡ ``epoch_us`` outright, so the relative times match
+    bit-for-bit; ties on equal timestamps break on the
     integer event_id in both engines; the open interval is the integer
     sentinel ``SCD2_OPEN_US`` (never NULL, so hashes agree).
     """
@@ -442,6 +478,7 @@ def scd2_intervals(spark, sf_dir) -> DataFrame:
 TRANS_PROB_SCALE = 1_000_000  # transition probability fixed point
 
 
+@_utc_pinned
 def event_transitions(spark, sf_dir) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences — the behavior-modeling primitive (what follows what?)

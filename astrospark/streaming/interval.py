@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from astrospark.engine.session import utc_scope
 from astrospark.ops.events import INCIDENT_WINDOW_US
 
 __all__ = ["stream_interval_pairs"]
@@ -48,7 +49,19 @@ def stream_interval_pairs(
     aggregation pair set (same inclusive [err_ts, err_ts + 1h] bounds).
     Works identically on a batch frame (no watermark applied) for
     backfill/drain-equality testing.
+
+    Plan-built under utc_scope like the batch event ops: the bucket keys
+    come from ``unix_micros(cast(ts))``, and a DST-transitioning session
+    TZ makes that map non-monotonic — a pair straddling a spring-forward
+    could land outside its exploded bucket range and be silently missed.
+    UTC makes the epoch map linear, so bucket coverage of the NTZ range
+    condition is exact.
     """
+    with utc_scope(events_stream.sparkSession):
+        return _build_pairs(events_stream, watermark)
+
+
+def _build_pairs(events_stream: DataFrame, watermark: str) -> DataFrame:
     window_s = INCIDENT_WINDOW_US // 1_000_000
     b = F.lit(INCIDENT_WINDOW_US)
     errors = events_stream.filter(F.col("event_type") == "error").select(

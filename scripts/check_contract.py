@@ -21,6 +21,29 @@ TABLES = (
 ).split()
 
 
+def type_class(t) -> str:
+    """Collapse an engine type name to the class that matters for a
+    fetch-path-dependent harness: int64-representable, float, string.
+    DuckDB HUGEINT (int128 — what sum(BIGINT) widens to) and DECIMAL are
+    their OWN classes: they degrade to float64/decimal128 under
+    pandas/arrow fetch, so a driver that hashes fetched frames sees
+    '123.0' vs Spark's '123' even when every value is equal — the exact
+    r4 trailing_window_agg failure. A green contract row requires the
+    classes to MATCH, not just the values under fetchall()."""
+    t = str(t).upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if "DECIMAL" in t:
+        return "decimal"
+    if any(k in t for k in ("INT", "LONG", "SHORT", "BYTE")):
+        return "int"
+    if any(k in t for k in ("DOUBLE", "FLOAT")):
+        return "float"
+    if any(k in t for k in ("STRING", "VARCHAR", "CHAR")):
+        return "str"
+    return t.lower()
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -120,8 +143,19 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             continue
         ok = True
+        spark_types = {f.name: type_class(f.dataType.simpleString()) for f in df.schema.fields}
+        rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+        duck_types = {c: type_class(t) for c, t in zip(rel.columns, rel.types)}
+        type_mismatch = {
+            c: (spark_types[c], duck_types[c])
+            for c in spark_types
+            if c in duck_types and spark_types[c] != duck_types[c]
+        }
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append((name, f"columns {spark_cols} vs {duck_cols}"))
+            ok = False
+        elif type_mismatch:
+            failures.append((name, f"type classes differ: {type_mismatch}"))
             ok = False
         elif len(spark_rows) != len(duck_rows):
             failures.append((name, f"rowcount {len(spark_rows)} vs {len(duck_rows)}"))

@@ -382,3 +382,109 @@ def test_trailing_window_plan_single_user_exchange(spark):
     assert plan.count(") Exchange") == 1
     assert "hashpartitioning(user_id" in plan
     assert plan.count(") Window") == 1
+
+
+# --- session-TZ robustness (r4 post-mortem) ----------------------------------
+
+
+def _write_ntz_events(path, wall_strs, values=None, users=None):
+    """Write an events.parquet with NTZ micros timestamps (the exact
+    physical shape of the driver testdata: isAdjustedToUTC=false)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(wall_strs)
+    import datetime as dt
+
+    ts = [dt.datetime.fromisoformat(s) for s in wall_strs]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(1, n + 1), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users or [1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(values or [1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{path}/events.parquet")
+
+
+def test_trailing_window_dst_session_tz(spark, tmp_path):
+    """Regression for the r4 latent defect: two events 24.5 wall-hours
+    apart straddling the 2024-03-10 US spring-forward. Under session TZ
+    America/New_York the NTZ→LTZ cast compresses the epoch gap to 23.5h,
+    so an UNPINNED trailing-24h RANGE frame counts 2 where the DuckDB
+    oracle's naive epoch_us counts 1. @_utc_pinned must make the op
+    session-TZ-independent: identical output under NY and UTC sessions,
+    both equal to the naive-epoch expectation."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from astrospark.ops.events import trailing_window_agg
+
+    _write_ntz_events(
+        str(tmp_path), ["2024-03-09T12:00:00", "2024-03-10T12:30:00"]
+    )
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for tz in ("America/New_York", "UTC"):
+            spark.conf.set(key, tz)
+            rows = trailing_window_agg(spark, str(tmp_path)).collect()
+            # the op must restore the caller's session TZ
+            assert spark.conf.get(key) == tz
+            results[tz] = sorted(
+                (r.event_id, r.user_id, r.n_trail_1d, r.cents_trail_1d, r.is_burst)
+                for r in rows
+            )
+    finally:
+        spark.conf.set(key, prev)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = sorted(
+        tuple(r) for r in con.execute(E.oracle_sql()["trailing_window_agg"]).fetchall()
+    )
+    assert results["America/New_York"] == results["UTC"] == oracle
+    # the fixture is sharp: the second event's frame holds ONLY itself
+    # (an unpinned NY session would count 2 — the 23.5h compressed gap)
+    assert results["UTC"][1][2] == 1
+
+
+def test_event_buckets_constant_offset_session_tz(spark, tmp_path):
+    """Hour/day bucketing ops need UTC pinning even for CONSTANT
+    session-TZ offsets (a +05:45 zone shifts every bucket boundary):
+    w1_event_windows' hour buckets and cohort_retention's day buckets
+    must equal the naive-epoch buckets under Asia/Kathmandu."""
+    from astrospark.ops.events import cohort_retention, w1_event_windows
+
+    # one event 10 min before an hour/day boundary, one 10 min after
+    _write_ntz_events(
+        str(tmp_path),
+        ["2024-01-02T23:50:00", "2024-01-03T00:10:00"],
+        users=[1, 2],
+    )
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "Asia/Kathmandu")
+        hours = sorted(
+            r.hour_bucket for r in w1_event_windows(spark, str(tmp_path)).collect()
+        )
+        days = sorted(
+            r.cohort_day for r in cohort_retention(spark, str(tmp_path)).collect()
+        )
+    finally:
+        spark.conf.set(key, prev)
+    import datetime as dt
+
+    epoch = dt.timezone.utc
+    e1 = int(dt.datetime(2024, 1, 2, 23, 50, tzinfo=epoch).timestamp())
+    e2 = int(dt.datetime(2024, 1, 3, 0, 10, tzinfo=epoch).timestamp())
+    assert hours == sorted({e1 // 3600, e2 // 3600})
+    assert days == sorted({e1 // 86400, e2 // 86400})
