@@ -38,13 +38,22 @@ from astrospark.ops.text import (
 
 
 def corpus_curation(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = MAX_BUCKET_DEFAULT
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Run the four-stage selection; returns the kept documents
     (doc_id, lang, n_chars). ``max_bucket`` passes through to the dedup
     stage — BOUNDED by default (the production/scale setting, like every
     dedup entry point); the driver contract pins ``max_bucket=None`` for
-    exhaustive oracle semantics, contract-only."""
+    exhaustive oracle semantics, contract-only.
+
+    ``clusters`` lets a pipeline pass a precomputed dedup cluster-label
+    table into the keep-best stage (VERDICT r4 #4); when omitted, the
+    stage hits dedup_cc_clusters' per-session memo, so curation after
+    any same-parameter dedup op in the same cache scope re-reads the
+    already-materialized labels instead of re-running the propagation."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
     )
@@ -55,9 +64,9 @@ def corpus_curation(
     uncontaminated = decontaminate_ngram(spark, sf_dir).filter(
         F.col("contaminated") == 0
     ).select("doc_id")
-    canonical = dedup_keep_best(spark, sf_dir, max_bucket=max_bucket).filter(
-        F.col("keep_best") == 1
-    ).select("doc_id")
+    canonical = dedup_keep_best(
+        spark, sf_dir, max_bucket=max_bucket, clusters=clusters
+    ).filter(F.col("keep_best") == 1).select("doc_id")
     out = docs
     for stage in (sampled, clean, uncontaminated, canonical):
         out = out.join(stage, "doc_id", "left_semi")

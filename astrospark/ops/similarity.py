@@ -1249,7 +1249,8 @@ def semantic_decontaminate(spark, sf_dir) -> DataFrame:
 
 
 def build_ann_index(
-    spark, sf_dir: str, index_dir: str, m: int = PQ_M, k: int = PQ_K
+    spark, sf_dir: str, index_dir: str, m: int = PQ_M, k: int = PQ_K,
+    max_rank: int = 4,
 ) -> None:
     """Materialize the IVFADC index to ``index_dir`` — the amortization
     step the in-query variants deliberately skip (their deterministic
@@ -1276,8 +1277,17 @@ def build_ann_index(
     One-time build cost: coarse training + PQ training + encoding + one
     vec_id-keyed join to attach cells to codes. Everything written is
     the exact integer machinery of the in-query path, so
-    ``ann_ivfadc_topk_indexed`` returns bit-identical results."""
-    cells = kmeans_cells(spark, sf_dir)
+    ``ann_ivfadc_topk_indexed`` returns bit-identical results.
+
+    ``meta.parquet`` records the build parameters (max_rank, m, k); the
+    probe entry points validate against it, so a ``nprobe`` deeper than
+    the stored ranking or an ``m`` different from the build-time PQ
+    split fails loudly instead of silently probing fewer cells / joining
+    the wrong codebooks (ADVICE r4)."""
+    spark.createDataFrame(
+        [(int(max_rank), int(m), int(k))], "max_rank int, m int, k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta.parquet")
+    cells = kmeans_cells(spark, sf_dir, max_rank=max_rank)
     cells.write.mode("overwrite").parquet(f"{index_dir}/cells.parquet")
     kmeans_centroids(spark, sf_dir).write.mode("overwrite").parquet(
         f"{index_dir}/centroids.parquet"
@@ -1292,6 +1302,31 @@ def build_ann_index(
         .partitionBy("cell")
         .parquet(f"{index_dir}/codes_by_cell.parquet")
     )
+
+
+def _validate_index_params(spark, index_dir: str, nprobe: int, m: int | None) -> None:
+    """Fail loudly when a probe's parameters exceed / mismatch what
+    build_ann_index stored (ADVICE r4: a deeper nprobe used to probe at
+    most the stored max_rank cells with no error, and a differing m
+    silently joined wrong codebooks). Pre-meta indexes (no meta.parquet)
+    are accepted as built with the historical defaults (max_rank=4,
+    m=PQ_M)."""
+    try:
+        meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+        built_rank, built_m = int(meta.max_rank), int(meta.m)
+    except Exception:  # pre-meta index layout
+        built_rank, built_m = 4, PQ_M
+    if nprobe > built_rank:
+        raise ValueError(
+            f"nprobe={nprobe} exceeds the index's stored coarse ranking "
+            f"depth max_rank={built_rank}; rebuild with build_ann_index("
+            f"..., max_rank>={nprobe})"
+        )
+    if m is not None and m != built_m:
+        raise ValueError(
+            f"m={m} does not match the index's build-time PQ split "
+            f"m={built_m}; codebook join would be wrong"
+        )
 
 
 def ann_ivfadc_topk_indexed(
@@ -1313,7 +1348,11 @@ def ann_ivfadc_topk_indexed(
     code scan statically prunes to the probed cells' files before any
     task launches. The query's distance table is (m·k) rows built from
     the stored codebooks and broadcast; scoring is one broadcast join +
-    one partial-agg + TakeOrdered, reading ``m`` ints per candidate."""
+    one partial-agg + TakeOrdered, reading ``m`` ints per candidate.
+
+    (nprobe, m) are validated against the index's stored build
+    parameters — see build_ann_index's meta.parquet note."""
+    _validate_index_params(spark, index_dir, nprobe=nprobe, m=m)
     cells = spark.read.parquet(f"{index_dir}/cells.parquet")
     probe = [
         r.cell
@@ -1366,6 +1405,7 @@ def ann_ivfadc_topk_vector(
     vector passed here will surface itself at ADC distance ~0."""
     import math
 
+    _validate_index_params(spark, index_dir, nprobe=nprobe, m=None)
     qv = [int(math.floor(float(x) * QUANT_SCALE)) for x in query_vec]
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
     ranked = sorted(

@@ -261,7 +261,9 @@ def test_vector_probe_numpy_replay(spark, tmp_path):
 
     import math
 
-    qv = [int(math.floor(float(x) * 1000)) for x in qvec]
+    from astrospark.ops.similarity import QUANT_SCALE
+
+    qv = [int(math.floor(float(x) * QUANT_SCALE)) for x in qvec]
     member = {
         r.vec_id: r.cell
         for r in spark.read.parquet(f"{idx}/cells.parquet").filter("rnk = 1").collect()
@@ -289,3 +291,52 @@ def test_vector_probe_numpy_replay(spark, tmp_path):
     expected.sort()
     assert got == [(v, d) for d, v in expected[:TOP_K]]
     assert got[0][0] == q_id  # the in-corpus query surfaces itself first
+
+
+def test_index_probe_param_validation(spark, tmp_path):
+    """ADVICE r4: a probe deeper than the index's stored coarse ranking
+    (nprobe > build-time max_rank) or an m differing from the build-time
+    PQ split must fail loudly — previously the deep probe silently
+    scanned at most max_rank cells and the wrong m silently joined wrong
+    codebooks. build_ann_index now persists meta.parquet and both probe
+    entry points validate against it."""
+    import pytest
+
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.similarity import (
+        PQ_ORACLE_K,
+        PQ_ORACLE_M,
+        ann_ivfadc_topk_indexed,
+        ann_ivfadc_topk_vector,
+        build_ann_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "annidx")
+    build_ann_index(spark, sf, idx, m=PQ_ORACLE_M, k=PQ_ORACLE_K, max_rank=2)
+    release_caches()
+
+    meta = spark.read.parquet(f"{idx}/meta.parquet").collect()[0]
+    assert (meta.max_rank, meta.m, meta.k) == (2, PQ_ORACLE_M, PQ_ORACLE_K)
+
+    # in-range parameters pass and return rows
+    ok = ann_ivfadc_topk_indexed(
+        spark, idx, sf, query_vec_id=1, nprobe=2, m=PQ_ORACLE_M
+    )
+    assert ok.count() > 0
+
+    with pytest.raises(ValueError, match="nprobe=3 exceeds"):
+        ann_ivfadc_topk_indexed(spark, idx, sf, query_vec_id=1, nprobe=3, m=PQ_ORACLE_M)
+    with pytest.raises(ValueError, match="does not match the index's build-time"):
+        ann_ivfadc_topk_indexed(
+            spark, idx, sf, query_vec_id=1, nprobe=1, m=PQ_ORACLE_M * 2
+        )
+
+    qvec = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("vec_id = 1")
+        .collect()[0]
+        .embedding
+    )
+    with pytest.raises(ValueError, match="nprobe=5 exceeds"):
+        ann_ivfadc_topk_vector(spark, idx, qvec, nprobe=5)
