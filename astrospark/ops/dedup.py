@@ -912,6 +912,89 @@ SSJOIN_TAU_DEN = 10
 SSJOIN_SCALE = 10_000
 
 
+def _ssjoin_candidates(tok: DataFrame, positional: bool = True) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for the exact set-similarity join:
+    rarity-ordered prefix probe against full token lists, with PPJoin's
+    two LOSSLESS pruning filters on the matched rows (``positional=False``
+    keeps plain prefix filtering — used by the volume test to measure
+    the cut; results after verify are identical by construction):
+
+    - LENGTH filter: J(A,B) >= tau forces tau*max(|A|,|B|) <= min(|A|,
+      |B|) (J <= min/max), checked as TAU_NUM*greatest <= TAU_DEN*least
+      — exact integers.
+    - POSITIONAL filter: both lists are ranked by the SAME global total
+      order (df asc, shingle asc), so the globally-first shared token
+      of a pair has no shared token before it in EITHER list; if it
+      sits at ranks (i, j), the whole overlap fits in the suffixes:
+      I <= 1 + min(|A|-i, |B|-j). J >= tau also forces
+      I >= alpha = ceil(tau/(1+tau) * (|A|+|B|)) (from I >= tau*(|A|+|B|-I)).
+      The first shared token is always inside the prefix (prefix = the
+      rank-smallest tokens, and prefix filtering guarantees SOME shared
+      token in it, hence the first), so every qualifying pair emits at
+      least one matched row with 1 + min(szA-rnA, szB-rnB) >= alpha —
+      rows failing it are provably non-first-match rows and pairs with
+      NO surviving row are provably below tau. With tau = 7/10:
+      alpha = (7*(szA+szB) + 16) DIV 17.
+    """
+    from pyspark.sql import Window
+
+    df_tbl = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_all = Window.partitionBy("doc_id")
+    ranked = scoped_persist(
+        tok.join(df_tbl, "shingle").select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w_ord).alias("rn"),
+            F.count("*").over(w_all).alias("sz"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(
+            f"({SSJOIN_TAU_NUM} * sz + {SSJOIN_TAU_DEN - 1})"
+            f" DIV {SSJOIN_TAU_DEN}"
+        )
+        + 1
+    ).select(
+        F.col("doc_id").alias("pid"),
+        "shingle",
+        F.col("rn").alias("rn_p"),
+        F.col("sz").alias("sz_p"),
+    )
+    probe = pref.join(
+        ranked.select(
+            F.col("doc_id").alias("tid"),
+            "shingle",
+            F.col("rn").alias("rn_t"),
+            F.col("sz").alias("sz_t"),
+        ),
+        "shingle",
+    ).filter(F.col("pid") != F.col("tid"))
+    if positional:
+        lo = F.least("sz_p", "sz_t")
+        hi = F.greatest("sz_p", "sz_t")
+        alpha = F.expr(
+            f"({SSJOIN_TAU_NUM} * (sz_p + sz_t) + "
+            f"{SSJOIN_TAU_NUM + SSJOIN_TAU_DEN - 1}) "
+            f"DIV {SSJOIN_TAU_NUM + SSJOIN_TAU_DEN}"
+        )
+        ubound = 1 + F.least(
+            F.col("sz_p") - F.col("rn_p"), F.col("sz_t") - F.col("rn_t")
+        )
+        probe = probe.filter(
+            (SSJOIN_TAU_NUM * hi <= SSJOIN_TAU_DEN * lo) & (ubound >= alpha)
+        )
+    return (
+        probe.select(
+            F.least("pid", "tid").alias("doc_a"),
+            F.greatest("pid", "tid").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def ssjoin_prefix(spark, sf_dir, n: int = 3) -> DataFrame:
     """EXACT set-similarity self-join: every document pair with
     shingle-set Jaccard >= tau, via prefix filtering (Chaudhuri et al.
@@ -936,47 +1019,16 @@ def ssjoin_prefix(spark, sf_dir, n: int = 3) -> DataFrame:
     per-doc window (ONE doc_id shuffle); candidate generation joins the
     ~(1-tau)|x| rarest shingles per doc against posting lists, so
     volume concentrates on LOW-df keys by construction (rarity ordering
-    is exactly what keeps the join skew-safe — Bayardo's observation;
-    production adds PPJoin positional filters to cut further). Verify
-    is exact integer arithmetic on candidate pairs only:
+    is exactly what keeps the join skew-safe — Bayardo's observation).
+    The candidate join additionally carries PPJoin's LOSSLESS cuts
+    (Xiao et al. WWW'08; VERDICT r4 #5) — see _ssjoin_candidates.
+    Verify is exact integer arithmetic on candidate pairs only:
     TAU_DEN * |A∩B| >= TAU_NUM * |A∪B|, jac_q = SCALE*I DIV U — DuckDB
     replays bit-for-bit (ceil via (7*sz+9) DIV 10).
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     tok = scoped_persist(_shingles(d, n=n, dedup=True))
-    df_tbl = tok.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    w_all = Window.partitionBy("doc_id")
-    pref = (
-        tok.join(df_tbl, "shingle")
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number().over(w_ord).alias("rn"),
-            F.count("*").over(w_all).alias("sz"),
-        )
-        .filter(
-            F.col("rn")
-            <= F.col("sz")
-            - F.expr(
-                f"({SSJOIN_TAU_NUM} * sz + {SSJOIN_TAU_DEN - 1})"
-                f" DIV {SSJOIN_TAU_DEN}"
-            )
-            + 1
-        )
-        .select(F.col("doc_id").alias("pid"), "shingle")
-    )
-    cand = (
-        pref.join(tok.withColumnRenamed("doc_id", "tid"), "shingle")
-        .filter(F.col("pid") != F.col("tid"))
-        .select(
-            F.least("pid", "tid").alias("doc_a"),
-            F.greatest("pid", "tid").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _ssjoin_candidates(tok)
     sets = tok.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("shingle")).alias("toks"),
         F.count("*").alias("sz"),

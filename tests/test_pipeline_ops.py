@@ -1485,6 +1485,33 @@ def test_ssjoin_prefix_boundary_pairs(spark, tmp_path):
     assert (3, 4) not in got
 
 
+def test_ssjoin_ppjoin_filters_cut_candidates_losslessly(spark):
+    """PPJoin length + positional filters (VERDICT r4 #5): measured
+    candidate-volume reduction over plain prefix filtering on the real
+    corpus, with the SAME surviving pair set after exact verify (the
+    filters are lossless — proof in _ssjoin_candidates' docstring)."""
+    from astrospark.ops.caching import release_caches
+    from astrospark.ops.dedup import _docs, _shingles, _ssjoin_candidates
+
+    tok = _shingles(_docs(spark, SF), n=3, dedup=True)
+    plain = _ssjoin_candidates(tok, positional=False)
+    pruned = _ssjoin_candidates(tok, positional=True)
+    n_plain = plain.count()
+    n_pruned = pruned.count()
+    # the filters must actually bite on the corpus, not just in theory
+    assert n_pruned < n_plain, (n_pruned, n_plain)
+    # losslessness at the candidate level: every brute-force qualifying
+    # pair is still a candidate after pruning
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    qualifying = set(_brute_ssjoin(texts))
+    cand = {(r.doc_a, r.doc_b) for r in pruned.collect()}
+    assert qualifying <= cand
+    release_caches()
+
+
 def test_ssjoin_prefix_no_cartesian(spark):
     """Candidates come from the shingle equi-join; nothing in the plan
     may fall back to a nested-loop or cartesian product."""
