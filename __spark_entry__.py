@@ -182,21 +182,27 @@ def _entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # demotes the 48 rows that went driver-green in CORRECTNESS_r04. Pinned
 # in-window regardless of age: extract_flagship (the flagship extraction
 # value-hash) and trailing_window_agg (the r4 red row — its HUGEINT
-# oracle fix needs a fresh driver artifact). Eight r1-r3-green rows
-# stay in the tail for lack of slots — chosen as the ones with the
-# freshest independent signal (extract_interleaved / emb_neardup_pairs /
-# knn_join / ann_ivf_kmeans_topk were judge-recheck-green in r4;
-# extraction_kind_counts / m_decode_stub / simhash16 / dedup_minhash_lsh
-# are triple-green r1+r2+r3 golden/stable rows). Audit:
-# scripts/audit_window.py (tail-never-green must stay empty).
+# oracle fix needs a fresh driver artifact). EVERY row whose last driver
+# check is r2 (age 3 at r5) is in-window — including the three that were
+# judge-recheck-green in r4 (ann_ivf_kmeans_topk / emb_neardup_pairs /
+# knn_join), so after CORRECTNESS_r05 no row's last-driver-green age
+# exceeds 2 rounds (VERDICT r4 #2's done criterion). Eight r1+r2+r3-
+# green (age-2) rows stay in the tail for lack of slots
+# (ann_cosine_topk / ann_lsh_buckets / ann_lsh_topk — the contract-only
+# sign-LSH family — plus extract_interleaved / extraction_kind_counts /
+# m_decode_stub / simhash16 / dedup_minhash_lsh golden/stable rows).
+# Audit: scripts/audit_window.py (tail-never-green must stay empty).
 _R5_WINDOW = [
     "extract_flagship",
     "trailing_window_agg",
-    # oldest driver signal first: last green r2
+    # oldest driver signal first: last green r2 (age 3 — all in-window)
     "ann_ivf_topk",
     "ann_rp_topk",
     "emb_neardup_banded",
     "dedup_simhash_pairs",
+    "ann_ivf_kmeans_topk",
+    "emb_neardup_pairs",
+    "knn_join",
     # last green r3 (r1-era long-green family + round-3 rows)
     "p1_whitespace_normalize",
     "p2_blank_filter",
@@ -239,9 +245,6 @@ _R5_WINDOW = [
     "asof_attribution",
     "m_resize_plan",
     "m_frame_sample",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
 ]
 
 
