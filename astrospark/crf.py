@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from astrospark.templates import BOUNDARY, N_LABELS, TEMPLATES
+from astrospark.templates import BOUNDARY, EVAL_PLAN, N_LABELS, TEMPLATES
 
 # ---------------------------------------------------------------------------
 # template value construction (vectorized)
@@ -158,6 +158,17 @@ class CrfModel:
         at position t is ``per_unique_vals[full_codes[t]]``. Factorization
         then runs over the per-unique values (thousands) and reaches full
         length with one int gather, never materializing n strings.
+
+        Evaluation follows ``templates.EVAL_PLAN``: single-col templates
+        over token-derived columns are grouped by offset, and when every
+        such column arrives as a tuple sharing ONE ``full_codes`` array
+        (the kernel's unique-token path), each group pre-sums its members'
+        per-distinct-token weight tables (float64, ascending template
+        order) and expands the sum with a SINGLE length-n gather — one
+        big-n take+add per offset instead of one per template (~5x less
+        memory traffic; L is only 3, so the whole pass is bandwidth-bound).
+        The scalar oracle accumulates in the identical plan order, keeping
+        kernel ≡ oracle bit-exact (see EVAL_PLAN's docstring).
         """
         n = len(seq_ids)
         # float64 accumulation — matches the scalar oracle (and Wapiti's C
@@ -165,79 +176,159 @@ class CrfModel:
         # Viterbi chains to flip near-tie decodes on multi-thousand-token
         # sequences (caught by giant-doc fuzz)
         scores = np.zeros((n, N_LABELS), dtype=np.float64)
-        used_cols = sorted({c for _nm, spec in TEMPLATES for _d, c in spec})
         codes: dict[int, np.ndarray] = {}
         uniques: dict[int, np.ndarray] = {}
-        for c in used_cols:
-            if isinstance(cols[c], tuple):
-                uvals, full_codes = cols[c]
-                cd, un = pd.factorize(pd.Series(uvals))
-                codes[c] = cd.astype(np.int64)[full_codes]
-            else:
-                cd, un = pd.factorize(cols[c])
-                codes[c] = cd.astype(np.int64)
-            uniques[c] = np.asarray(un, dtype=object)
+
+        def col_codes(c: int) -> np.ndarray:
+            if c not in codes:
+                if isinstance(cols[c], tuple):
+                    uvals, full_codes = cols[c]
+                    cd, un = pd.factorize(pd.Series(uvals))
+                    codes[c] = cd.astype(np.int64)[full_codes]
+                else:
+                    cd, un = pd.factorize(cols[c])
+                    codes[c] = cd.astype(np.int64)
+                uniques[c] = np.asarray(un, dtype=object)
+            return codes[c]
+
         shifted: dict[tuple[int, int], np.ndarray] = {}
 
         def get_shifted(d: int, c: int) -> np.ndarray:
             key = (d, c)
             if key not in shifted:
-                shifted[key] = shift_codes(codes[c], seq_ids, d)
+                shifted[key] = shift_codes(col_codes(c), seq_ids, d)
             return shifted[key]
 
-        # one reusable (n, L) float32 gather buffer for ALL single-col
-        # templates — 52 per-template temp allocations (6+ MB each) were
-        # ~45% of the single-template path (malloc + page faults), and
-        # np.take(out=) + in-place += is bit-identical to the allocating
-        # form (same values, same float64 accumulation order)
+        # one reusable (n, L) float32 gather buffer for per-template takes
+        # — per-template temp allocations (6+ MB each) were ~45% of the
+        # single-template path (malloc + page faults), and np.take(out=)
+        # + in-place += is bit-identical to the allocating form (same
+        # values, same float64 accumulation order)
         tmp = np.empty((n, N_LABELS), dtype=np.float32)
-        for k, (_name, spec) in enumerate(TEMPLATES):
+
+        def single_into(k: int, d: int, c: int) -> None:
+            """Gather template k's weight rows for all n positions → tmp."""
             vocab = self.vocabs[k]
             w = self.weights[k]
             oov = len(vocab)
-            if len(spec) == 1:
-                d, c = spec[0]
+            sc = get_shifted(d, c)
+            lut = self._vocab_index(k).get_indexer(uniques[c])
+            lut[lut < 0] = oov
+            lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
+            # gather weights into a per-batch small table first: the
+            # big-n gather then hits a cache-resident (u+1, L) array
+            # (negative boundary codes index the appended last row —
+            # np.take supports them exactly like fancy indexing)
+            np.take(w[lut], sc, axis=0, out=tmp)
+
+        # shared-unique grouped path: every grouped column is a tuple over
+        # the SAME full_codes array (identity check — the kernel builds all
+        # 17 from one el_codes), so all members of an offset group share
+        # one shifted index and their tables can be pre-summed
+        group_cols = sorted(
+            {c for item in EVAL_PLAN if item[0] == "group" for _k, c in item[2]}
+        )
+        fast = bool(group_cols) and all(
+            isinstance(cols[c], tuple) for c in group_cols
+        )
+        if fast:
+            base_codes = cols[group_cols[0]][1]
+            fast = all(cols[c][1] is base_codes for c in group_cols[1:])
+        if fast:
+            n_uniq = len(cols[group_cols[0]][0])
+            base_codes = np.asarray(base_codes, dtype=np.int64)
+            tmp64 = np.empty((n, N_LABELS), dtype=np.float64)
+            ucodes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+            def col_ucodes(c: int) -> tuple[np.ndarray, np.ndarray]:
+                # factorize the PER-UNIQUE column values (dedupes shapes/
+                # prefixes shared across distinct tokens) so each template's
+                # vocab probe runs over the smaller value set
+                if c not in ucodes:
+                    cd, un = pd.factorize(pd.Series(cols[c][0]))
+                    ucodes[c] = (cd.astype(np.int64), np.asarray(un, dtype=object))
+                return ucodes[c]
+
+            shifted_uid: dict[int, np.ndarray] = {}
+
+            def get_shifted_uid(d: int) -> np.ndarray:
+                if d not in shifted_uid:
+                    shifted_uid[d] = shift_codes(base_codes, seq_ids, d)
+                return shifted_uid[d]
+
+        for item in EVAL_PLAN:
+            if item[0] == "group":
+                d, members = item[1], item[2]
+                if fast:
+                    # per-distinct-token pre-sum: G[u] = sum over member
+                    # templates of their weight row for token u (float64,
+                    # ascending k); last row = the members' summed boundary
+                    # rows (all members share offset d, so positions are
+                    # jointly in-bounds or jointly boundary)
+                    grp = np.zeros((n_uniq + 1, N_LABELS), dtype=np.float64)
+                    for k, c in members:
+                        vocab = self.vocabs[k]
+                        w = self.weights[k]
+                        oov = len(vocab)
+                        cd, un = col_ucodes(c)
+                        lut = self._vocab_index(k).get_indexer(un)
+                        lut[lut < 0] = oov
+                        grp[:n_uniq] += w[lut[cd]]
+                        grp[n_uniq] += w[vocab.get(BOUNDARY, oov)]
+                    np.take(grp, get_shifted_uid(d), axis=0, out=tmp64)
+                    scores += tmp64
+                elif len(members) == 1:
+                    # no pre-sum to share — identical to the single path
+                    (k, c) = members[0]
+                    single_into(k, d, c)
+                    scores += tmp
+                else:
+                    part = np.zeros((n, N_LABELS), dtype=np.float64)
+                    for k, c in members:
+                        single_into(k, d, c)
+                        part += tmp
+                    scores += part
+                continue
+            if item[0] == "single":
+                _tag, k, d, c = item
+                single_into(k, d, c)
+                scores += tmp
+                continue
+            # compound templates
+            k = item[1]
+            _name, spec = TEMPLATES[k]
+            vocab = self.vocabs[k]
+            w = self.weights[k]
+            oov = len(vocab)
+            # combine component codes into one integer key, dedupe, and
+            # build observation strings only for the unique combos
+            comb = None
+            bases = []
+            for d, c in spec:
                 sc = get_shifted(d, c)
+                b = len(uniques[c]) + 1
+                bases.append(b)
+                comb = (sc + 1) if comb is None else comb * b + (sc + 1)
+            # hash-based factorize beats sort-based np.unique here and
+            # uniqueness order is irrelevant (gather by inv either way)
+            inv, ucomb = pd.factorize(comb)
+            ucomb = np.asarray(ucomb, dtype=comb.dtype)
+            comps = []
+            rem = ucomb.copy()
+            for (d, c), b in zip(reversed(spec), reversed(bases)):
+                comps.append((rem % b - 1, c))
+                rem //= b
+            comps.reverse()
+            svals = None
+            for comp, c in comps:
                 u = uniques[c]
-                lut = self._vocab_index(k).get_indexer(u)
-                lut[lut < 0] = oov
-                lut = np.append(lut, vocab.get(BOUNDARY, oov))  # code -1
-                # gather weights into a per-batch small table first: the
-                # big-n gather then hits a cache-resident (u+1, L) array
-                # (negative boundary codes index the appended last row —
-                # np.take supports them exactly like fancy indexing)
-                np.take(w[lut], sc, axis=0, out=tmp)
-                scores += tmp
-            else:
-                # combine component codes into one integer key, dedupe, and
-                # build observation strings only for the unique combos
-                comb = None
-                bases = []
-                for d, c in spec:
-                    sc = get_shifted(d, c)
-                    b = len(uniques[c]) + 1
-                    bases.append(b)
-                    comb = (sc + 1) if comb is None else comb * b + (sc + 1)
-                # hash-based factorize beats sort-based np.unique here and
-                # uniqueness order is irrelevant (gather by inv either way)
-                inv, ucomb = pd.factorize(comb)
-                ucomb = np.asarray(ucomb, dtype=comb.dtype)
-                comps = []
-                rem = ucomb.copy()
-                for (d, c), b in zip(reversed(spec), reversed(bases)):
-                    comps.append((rem % b - 1, c))
-                    rem //= b
-                comps.reverse()
-                svals = None
-                for comp, c in comps:
-                    u = uniques[c]
-                    part = np.where(comp >= 0, u[np.clip(comp, 0, None)], BOUNDARY)
-                    part = part.astype(object)
-                    svals = part if svals is None else svals + SEP + part
-                lut = self._vocab_index(k).get_indexer(svals)
-                lut[lut < 0] = oov
-                np.take(w[lut], inv, axis=0, out=tmp)  # same buffer reuse
-                scores += tmp
+                part = np.where(comp >= 0, u[np.clip(comp, 0, None)], BOUNDARY)
+                part = part.astype(object)
+                svals = part if svals is None else svals + SEP + part
+            lut = self._vocab_index(k).get_indexer(svals)
+            lut[lut < 0] = oov
+            np.take(w[lut], inv, axis=0, out=tmp)  # same buffer reuse
+            scores += tmp
         return scores
 
 

@@ -28,7 +28,13 @@ import numpy as np
 from astrospark.analyzer import tokenize
 from astrospark.crf import SEP, CrfModel, viterbi_single
 from astrospark.lexicon import match_positions
-from astrospark.templates import BOUNDARY, LABEL_BEGIN, LABEL_OTHER, TEMPLATES
+from astrospark.templates import (
+    BOUNDARY,
+    EVAL_PLAN,
+    LABEL_BEGIN,
+    LABEL_OTHER,
+    TEMPLATES,
+)
 from astrospark.unicode_norm import normalize_and_remove_spaces
 
 # span kinds processed as plain text (reference: title/abstract/keywords +
@@ -171,14 +177,37 @@ def label_sequence(tokens: list[str], vocab: frozenset, trie: dict, model: CrfMo
 
     cols_per_tok = [scalar_columns(w, a, p) for w, (a, p) in zip(words, flags)]
     T = len(eligible)
-    emit = np.zeros((T, len(model.trans)), dtype=np.float64)
+    n_labels = len(model.trans)
+    emit = np.zeros((T, n_labels), dtype=np.float64)
+    # accumulation follows templates.EVAL_PLAN — offset-grouped singles sum
+    # into a float64 partial first (ascending template order), then group
+    # partials / remaining templates add in plan order. The vectorized
+    # scorer (crf.CrfModel.emissions) pre-sums the same groups per distinct
+    # token, so both sides perform the identical float64 operations and
+    # stay bit-exact (the invariant the old per-template order maintained).
     for t in range(T):
-        for k, (_name, spec) in enumerate(TEMPLATES):
-            parts = []
-            for d, c in spec:
+        for item in EVAL_PLAN:
+            if item[0] == "group":
+                d, members = item[1], item[2]
                 q = t + d
-                parts.append(cols_per_tok[q][c] if 0 <= q < T else BOUNDARY)
-            val = SEP.join(parts)
+                part = np.zeros(n_labels, dtype=np.float64)
+                for k, c in members:
+                    val = cols_per_tok[q][c] if 0 <= q < T else BOUNDARY
+                    row = model.vocabs[k].get(val, len(model.vocabs[k]))
+                    part += model.weights[k][row]
+                emit[t] += part
+                continue
+            if item[0] == "single":
+                _tag, k, d, c = item
+                q = t + d
+                val = cols_per_tok[q][c] if 0 <= q < T else BOUNDARY
+            else:
+                k = item[1]
+                parts = []
+                for d, c in TEMPLATES[k][1]:
+                    q = t + d
+                    parts.append(cols_per_tok[q][c] if 0 <= q < T else BOUNDARY)
+                val = SEP.join(parts)
             row = model.vocabs[k].get(val, len(model.vocabs[k]))
             emit[t] += model.weights[k][row]
     labels = viterbi_single(emit, model.trans.astype(np.float64))

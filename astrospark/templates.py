@@ -102,3 +102,50 @@ N_LABELS = 3
 
 # boundary marker used when a template offset falls outside the sequence
 BOUNDARY = "\x00B"
+
+# column 17 is the FastMatcher interval flag — the only feature column
+# that is NOT a function of the token string (it is positional), so it is
+# excluded from the shared-unique-token emission fast path
+INTERVAL_COL = 17
+
+
+def _build_eval_plan() -> tuple:
+    """Shared emission evaluation order for the vectorized scorer AND the
+    scalar oracle (oracle.label_sequence).
+
+    Single-column templates over token-string-derived columns are grouped
+    by row offset (ascending); within a group, templates keep ascending
+    template order. Then the interval-flag (col 17) singles in template
+    order, then the compound templates in template order.
+
+    Grouping exists so the vectorized scorer can pre-sum each group's
+    per-distinct-token weight tables and expand them with ONE length-n
+    gather per offset instead of one per template (all members of a group
+    share the same shifted index array). float64 accumulation is
+    associative-order-sensitive at the last ulp, so BOTH scorers must sum
+    inside a group first (ascending template order) and then add group
+    partials in plan order — that keeps kernel and oracle bit-identical,
+    the same invariant the previous per-template order maintained.
+
+    Items: ("group", d, ((k, c), ...)) | ("single", k, d, c) |
+    ("multi", k).
+    """
+    groups: dict[int, list[tuple[int, int]]] = {}
+    interval_singles: list[tuple] = []
+    multis: list[tuple] = []
+    for k, (_name, spec) in enumerate(TEMPLATES):
+        if len(spec) > 1:
+            multis.append(("multi", k))
+        else:
+            d, c = spec[0]
+            if c == INTERVAL_COL:
+                interval_singles.append(("single", k, d, c))
+            else:
+                groups.setdefault(d, []).append((k, c))
+    plan: list[tuple] = [("group", d, tuple(groups[d])) for d in sorted(groups)]
+    plan.extend(interval_singles)
+    plan.extend(multis)
+    return tuple(plan)
+
+
+EVAL_PLAN = _build_eval_plan()
