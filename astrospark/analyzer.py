@@ -23,6 +23,11 @@ rendition on adversarial inputs).
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
 # Exact transcription of AstroAnalyzer.DELIMITERS (AstroAnalyzer.java:44-54),
 # written with explicit escapes so every character is auditable.
@@ -56,6 +61,119 @@ TOKEN_RE = re.compile(TOKEN_PATTERN)
 def tokenize(text: str) -> list[str]:
     """Tokenize like AstroAnalyzer.tokenize (AstroAnalyzer.java:62-80)."""
     return TOKEN_RE.findall(text)
+
+
+class TokenBatch(NamedTuple):
+    """Batch tokenization result over a list of unit texts (see
+    ``tokenize_spans``). All arrays are aligned per token, in unit order."""
+
+    codes: np.ndarray  # int64 distinct-token code per token
+    uniq: pd.Series  # object Series of distinct token strings
+    tok_len: np.ndarray  # int64 codepoint length per token
+    unit_ids: np.ndarray  # int64 source-unit index per token
+    char_start: np.ndarray  # int64 char offset of the token within its unit
+
+
+# Per-process codepoint classification tables, grown on demand to the max
+# codepoint seen. ``digit`` uses str.isdecimal(), which is exactly Unicode
+# category Nd — the same set Python's regex ``\d`` matches on str (pinned by
+# tests/test_analyzer.py::test_isdecimal_matches_regex_digit).
+_CLS: dict = {"size": 0}
+
+
+def _class_tables(maxcode: int) -> dict:
+    size = max(maxcode + 1, 0x180)
+    if size > _CLS["size"]:
+        cps = np.arange(size, dtype=np.uint32)
+        delim = np.zeros(size, dtype=bool)
+        for ch in DELIM_SET:
+            if ord(ch) < size:
+                delim[ord(ch)] = True
+        digit = np.fromiter(
+            (chr(c).isdecimal() for c in range(size)), dtype=bool, count=size
+        )
+        alpha = ((cps >= 65) & (cps <= 90)) | ((cps >= 97) & (cps <= 122))
+        _CLS.update(size=size, delim=delim, digit=digit, alpha=alpha)
+    return _CLS
+
+
+def tokenize_spans(texts: list[str]) -> TokenBatch:
+    """Tokenize a whole batch of unit texts in one vectorized pass.
+
+    Equivalent to ``[tokenize(t) for t in texts]`` (pinned by
+    tests/test_analyzer.py fuzz), but ~5x faster: the texts are joined into
+    one megastring with ``"\\n"`` separators — ``"\\n"`` is a delimiter, so it
+    always forms its own single-char token and no token can cross it, making
+    per-text tokenization and megastring tokenization provably identical —
+    then token BOUNDARIES are computed with numpy char-class logic over the
+    codepoint array (the two-phase split of AstroAnalyzer.java:44-56 reduces
+    to: boundary at every delimiter edge, at ascii-letter->digit, and at
+    digit->non-digit), and the token strings are materialized zero-copy as a
+    pyarrow StringArray over the megastring's utf-8 buffer (tokens tile the
+    text, so the boundary byte offsets ARE the arrow offsets buffer), which
+    ``dictionary_encode`` then deduplicates in C++.
+    """
+    mega = "\n".join(texts)
+    codes32 = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+    n_chars = len(codes32)
+    empty = np.empty(0, dtype=np.int64)
+    if n_chars == 0:
+        return TokenBatch(empty, pd.Series([], dtype="object"), empty, empty, empty)
+    cls = _class_tables(int(codes32.max()))
+    is_delim = cls["delim"][codes32]
+    is_digit = cls["digit"][codes32]
+    is_alpha = cls["alpha"][codes32]
+    bound = np.empty(n_chars, dtype=bool)
+    bound[0] = True
+    bound[1:] = (
+        is_delim[:-1]
+        | is_delim[1:]
+        | (is_alpha[:-1] & is_digit[1:])
+        | (is_digit[:-1] & ~is_digit[1:])
+    )
+    starts = np.flatnonzero(bound)  # codepoint offset of each token
+    ends = np.concatenate((starts[1:], [n_chars]))
+
+    # utf-8 byte offset of each token start: codepoint offset + the extra
+    # bytes contributed by preceding non-ascii codepoints (sparse correction
+    # — most corpora are ascii-dominated)
+    utf8 = mega.encode("utf-8")
+    non_ascii = np.flatnonzero(codes32 >= 0x80)
+    if len(non_ascii) == 0:
+        byte_starts = starts
+    else:
+        na_codes = codes32[non_ascii].astype(np.int64)
+        extra = np.where(na_codes < 0x800, 1, np.where(na_codes < 0x10000, 2, 3))
+        cum_extra = np.concatenate(([0], np.cumsum(extra)))
+        byte_starts = starts + cum_extra[np.searchsorted(non_ascii, starts)]
+    offsets = np.empty(len(starts) + 1, dtype=np.int64)
+    offsets[:-1] = byte_starts
+    offsets[-1] = len(utf8)
+    arr = pa.LargeStringArray.from_buffers(
+        len(starts), pa.py_buffer(offsets.tobytes()), pa.py_buffer(utf8)
+    )
+    enc = arr.dictionary_encode()
+    all_codes = enc.indices.to_numpy().astype(np.int64)
+    uniq = enc.dictionary.to_pandas().astype("object")
+
+    # drop the separator tokens by POSITION (each separator is the 1-char
+    # token starting exactly at unit boundary - 1)
+    unit_len = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
+    unit_char_start = np.concatenate(([0], np.cumsum(unit_len + 1)))[:-1]
+    sep_pos = unit_char_start[1:] - 1
+    keep = np.ones(len(starts), dtype=bool)
+    if len(sep_pos):
+        sep_idx = np.searchsorted(starts, sep_pos)
+        keep[sep_idx] = False
+    tok_starts = starts[keep]
+    unit_ids = np.searchsorted(unit_char_start, tok_starts, side="right") - 1
+    return TokenBatch(
+        all_codes[keep],
+        uniq,
+        (ends - starts)[keep],
+        unit_ids,
+        tok_starts - unit_char_start[unit_ids],
+    )
 
 
 def tokenize_reference_port(text: str) -> list[str]:

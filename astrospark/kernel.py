@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from astrospark.analyzer import TOKEN_RE
+from astrospark.analyzer import TOKEN_RE, tokenize_spans
 from astrospark.crf import CrfModel, viterbi_batched
 from astrospark.features import compute_columns
 from astrospark.lexicon import _WS_TOKENS, END
@@ -82,14 +82,7 @@ def extract_batch(pdf: pd.DataFrame, vocab, trie, model: CrfModel) -> pd.DataFra
 
     ent_rows: list[tuple[int, str, str, str, int, int]] = []
     if unit_texts:
-        token_arr = pd.Series(unit_texts, dtype="object").str.findall(TOKEN_RE).to_numpy()
-        keep = [i for i, toks in enumerate(token_arr) if toks]
-        if keep:
-            token_lists = [token_arr[i] for i in keep]
-            unit_doc = [unit_doc[i] for i in keep]
-            unit_base = [unit_base[i] for i in keep]
-            unit_texts = [unit_texts[i] for i in keep]
-            ent_rows = _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, model)
+        ent_rows = _process_units(unit_doc, unit_base, unit_texts, vocab, trie, model)
 
     all_rows = passthrough + ent_rows
     if not all_rows:
@@ -115,33 +108,32 @@ def extract_batch(pdf: pd.DataFrame, vocab, trie, model: CrfModel) -> pd.DataFra
     return out[list(OUTPUT_COLUMNS)].reset_index(drop=True)
 
 
-def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, model):
+def _process_units(unit_doc, unit_base, unit_texts, vocab, trie, model):
     """Label all units' tokens in one vectorized pass, then assemble
     entities with the per-cluster offset walk."""
     n_units = len(unit_texts)
-    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_units)
-    flat_tokens = pd.Series(
-        [t for toks in token_lists for t in toks], dtype="object"
-    )
-    n = len(flat_tokens)
-    unit_ids = np.repeat(np.arange(n_units), counts)
+    # batch tokenization: one megastring pass + arrow dictionary encode
+    # (analyzer.tokenize_spans) — the unique-token fast path: every
+    # per-token quantity that is a function of the token STRING (length,
+    # eligibility, normalization, feature cols 0-16, dictionary flag) is
+    # computed once per DISTINCT token and reached by integer gather —
+    # natural text repeats tokens ~30-100x per batch, so the string work
+    # drops by that factor
+    batch = tokenize_spans(unit_texts)
+    tok_codes = batch.codes
+    n = len(tok_codes)
+    if n == 0:
+        return []
+    unit_ids = batch.unit_ids
+    counts = np.bincount(unit_ids, minlength=n_units)
     unit_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-
-    # unique-token fast path: every per-token quantity that is a function
-    # of the token STRING (length, eligibility, normalization, feature
-    # cols 0-16, dictionary flag) is computed once per DISTINCT token and
-    # reached by integer gather — natural text repeats tokens ~30-100x per
-    # batch, so the string work drops by that factor
-    tok_codes, tok_uniq = pd.factorize(flat_tokens)
-    tok_codes = tok_codes.astype(np.int64)
-    uniq_ser = pd.Series(tok_uniq, dtype="object")
-    uniq_arr = np.asarray(tok_uniq, dtype=object)
+    uniq_ser = batch.uniq
+    uniq_arr = uniq_ser.to_numpy(dtype=object)
 
     # char positions: tokens tile the text exactly
-    tok_len = uniq_ser.str.len().to_numpy(dtype=np.int64)[tok_codes]
-    cum = np.cumsum(tok_len)
-    char_end = cum - np.repeat(cum[unit_starts] - tok_len[unit_starts], counts)
-    char_start = char_end - tok_len
+    tok_len = batch.tok_len
+    char_start = batch.char_start
+    char_end = char_start + tok_len
 
     # gazetteer interval flags (J2) — candidate-pruned trie scan: root
     # membership is evaluated once per DISTINCT token; the python descent
@@ -152,7 +144,7 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
     in_interval = np.zeros(n, dtype=bool)
     u_ws = uniq_ser.isin(_WS_TOKENS).to_numpy(dtype=bool)
     u_root = np.fromiter(
-        (u in trie for u in tok_uniq), dtype=bool, count=len(tok_uniq)
+        (u in trie for u in uniq_arr), dtype=bool, count=len(uniq_arr)
     )
     cand_idx = np.flatnonzero(u_root[tok_codes])
     if len(cand_idx):
@@ -187,7 +179,7 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
                     k += 1
 
     # eligibility (AstroParser.addFeatures:632-642) — per unique token
-    arr = flat_tokens.to_numpy()
+    is_space = (uniq_arr == " ")[tok_codes]
     uniq_norm = uniq_ser.str.translate(NORMALIZE_TABLE).astype("string[pyarrow]")
     u_eligible = (
         (uniq_arr != " ") & (uniq_arr != "\n") & ~_control_only_mask(uniq_norm)
@@ -269,7 +261,7 @@ def _process_units(unit_doc, unit_base, unit_texts, token_lists, vocab, trie, mo
             # the first cluster of the unit
             n_lead = 0
             if k_i == 0:
-                while ts_local + n_lead < te_local and arr[g_ts + n_lead] == " ":
+                while ts_local + n_lead < te_local and is_space[g_ts + n_lead]:
                     n_lead += 1
             tok_span = int(char_end[g_te - 1] - char_start[g_ts]) if g_te > g_ts else 0
             pos += n_lead

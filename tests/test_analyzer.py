@@ -3,7 +3,14 @@
 import numpy as np
 import pytest
 
-from astrospark.analyzer import DELIM_SET, tokenize, tokenize_reference_port
+import re
+
+from astrospark.analyzer import (
+    DELIM_SET,
+    tokenize,
+    tokenize_reference_port,
+    tokenize_spans,
+)
 
 CASES = [
     ("GRB 10002 and other GRBs, but also GRB 050219.", None),
@@ -48,3 +55,68 @@ def test_delimiter_set_size():
     assert len(DELIM_SET) == 75
     for ch in " \n\r\t()[]^%,:;?.!/-–−=≈<>+\"“”‘’'`$*":
         assert ch in DELIM_SET
+
+
+def test_isdecimal_matches_regex_digit():
+    # tokenize_spans' digit class table uses str.isdecimal(); the scalar
+    # tokenizer's phase-2 split uses regex \d (Unicode Nd on str). These
+    # must agree on every codepoint the class table can ever cover.
+    digit_re = re.compile(r"\d")
+    for c in range(0x11000):  # BMP + a page of astral digits' neighborhood
+        ch = chr(c)
+        assert ch.isdecimal() == bool(digit_re.fullmatch(ch)), hex(c)
+    # astral-plane decimal digits (e.g. MATHEMATICAL BOLD DIGITS U+1D7CE..)
+    for c in list(range(0x1D7CE, 0x1D800)) + [0x104A0, 0x16A60]:
+        ch = chr(c)
+        assert ch.isdecimal() == bool(digit_re.fullmatch(ch)), hex(c)
+
+
+def _spans_to_token_lists(texts):
+    """Reconstruct per-text token lists from a TokenBatch."""
+    batch = tokenize_spans(texts)
+    uniq = batch.uniq.to_numpy(dtype=object)
+    lists = [[] for _ in texts]
+    for code, uid in zip(batch.codes.tolist(), batch.unit_ids.tolist()):
+        lists[uid].append(uniq[code])
+    return batch, lists
+
+
+def test_tokenize_spans_matches_per_text():
+    texts = [t for t, _ in CASES]
+    batch, lists = _spans_to_token_lists(texts)
+    for t, got in zip(texts, lists):
+        assert got == tokenize(t), repr(t)
+    # char_start/tok_len tile each unit text exactly, in order
+    for uid, text in enumerate(texts):
+        m = batch.unit_ids == uid
+        starts = batch.char_start[m]
+        lens = batch.tok_len[m]
+        pos = 0
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            assert s == pos
+            pos += ln
+        assert pos == len(text)
+
+
+def test_tokenize_spans_fuzz():
+    rng = np.random.default_rng(987)
+    # includes astral-plane char (4-byte utf-8), astral digit, non-ascii
+    # letters/digits, NBSP and unicode dashes — exercises the byte-offset
+    # correction and every boundary rule
+    alphabet = list("abXY09σβ٣日 .,-–()[]\"'`\n\t/+=<>𝟒😀 −") + [" "]
+    for trial in range(200):
+        n_texts = int(rng.integers(0, 6))
+        texts = [
+            "".join(rng.choice(alphabet, size=rng.integers(0, 30)))
+            for _ in range(n_texts)
+        ]
+        _, lists = _spans_to_token_lists(texts)
+        for t, got in zip(texts, lists):
+            assert got == tokenize(t), (trial, repr(t))
+
+
+def test_tokenize_spans_empty_and_blank_units():
+    texts = ["", "a b", "", "", "\n\n", "M4"]
+    _, lists = _spans_to_token_lists(texts)
+    for t, got in zip(texts, lists):
+        assert got == tokenize(t), repr(t)
