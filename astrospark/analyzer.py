@@ -82,19 +82,35 @@ _CLS: dict = {"size": 0}
 
 
 def _class_tables(maxcode: int) -> dict:
+    """Return class tables covering codepoints [0, maxcode].
+
+    Thread-safety contract (the HTTP service runs kernel calls on a
+    ThreadingHTTPServer): callers index the RETURNED dict, never the
+    module global, and a grower publishes a fully-built replacement dict
+    with one atomic rebind — so a concurrent smaller publish can waste a
+    rebuild but can never hand any caller an undersized or half-updated
+    table (tests/test_analyzer.py::test_class_tables_concurrent_growth).
+    """
+    tables = _CLS  # snapshot — later swaps never mutate what we read
     size = max(maxcode + 1, 0x180)
-    if size > _CLS["size"]:
-        cps = np.arange(size, dtype=np.uint32)
+    if size > tables["size"]:
+        lo = tables["size"]
+        # extend the expensive isdecimal table over [lo, size) only —
+        # str.isdecimal is a per-codepoint Python call, and a full
+        # rebuild from 0 re-pays ~130 ms whenever one astral char shows up
+        grown = np.fromiter(
+            (chr(c).isdecimal() for c in range(lo, size)), dtype=bool, count=size - lo
+        )
+        digit = np.concatenate((tables["digit"], grown)) if lo else grown
         delim = np.zeros(size, dtype=bool)
         for ch in DELIM_SET:
             if ord(ch) < size:
                 delim[ord(ch)] = True
-        digit = np.fromiter(
-            (chr(c).isdecimal() for c in range(size)), dtype=bool, count=size
-        )
+        cps = np.arange(size, dtype=np.uint32)
         alpha = ((cps >= 65) & (cps <= 90)) | ((cps >= 97) & (cps <= 122))
-        _CLS.update(size=size, delim=delim, digit=digit, alpha=alpha)
-    return _CLS
+        tables = {"size": size, "delim": delim, "digit": digit, "alpha": alpha}
+        globals()["_CLS"] = tables
+    return tables
 
 
 def tokenize_spans(texts: list[str]) -> TokenBatch:
@@ -112,9 +128,22 @@ def tokenize_spans(texts: list[str]) -> TokenBatch:
     pyarrow StringArray over the megastring's utf-8 buffer (tokens tile the
     text, so the boundary byte offsets ARE the arrow offsets buffer), which
     ``dictionary_encode`` then deduplicates in C++.
+
+    Strings containing lone surrogates (e.g. ``surrogateescape``-decoded
+    bytes) cannot round-trip through utf-32/utf-8 — those fall back to the
+    per-text regex tokenizer with the same TokenBatch contract, matching
+    the pre-vectorization behavior instead of failing the whole batch.
+    (The Spark path can never carry them — Arrow validates utf-8 — and the
+    HTTP service decodes with errors="replace"; downstream kernel string
+    ops are arrow-backed and still require valid Unicode, exactly as they
+    did before vectorization.)
     """
     mega = "\n".join(texts)
-    codes32 = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+    try:
+        encoded = mega.encode("utf-32-le")
+    except UnicodeEncodeError:
+        return _tokenize_spans_scalar(texts)
+    codes32 = np.frombuffer(encoded, dtype=np.uint32)
     n_chars = len(codes32)
     empty = np.empty(0, dtype=np.int64)
     if n_chars == 0:
@@ -173,6 +202,40 @@ def tokenize_spans(texts: list[str]) -> TokenBatch:
         (ends - starts)[keep],
         unit_ids,
         tok_starts - unit_char_start[unit_ids],
+    )
+
+
+def _tokenize_spans_scalar(texts: list[str]) -> TokenBatch:
+    """Per-text regex fallback for inputs the megastring path can't encode
+    (lone surrogates). Same TokenBatch contract; tokens tile each text, so
+    char offsets are running sums of token lengths."""
+    toks: list[str] = []
+    uids: list[int] = []
+    starts: list[int] = []
+    for ui, t in enumerate(texts):
+        pos = 0
+        for tok in tokenize(t):
+            toks.append(tok)
+            uids.append(ui)
+            starts.append(pos)
+            pos += len(tok)
+    empty = np.empty(0, dtype=np.int64)
+    if not toks:
+        return TokenBatch(empty, pd.Series([], dtype="object"), empty, empty, empty)
+    # dict-based dedup, NOT pd.factorize: pandas' string hashtable keys by
+    # a lossy utf-8 encoding, so DISTINCT lone-surrogate tokens silently
+    # collide to one code (observed: '\ud800' and '\udcff\udcfe' factorize
+    # equal) — exactly the inputs this fallback exists for
+    idx: dict[str, int] = {}
+    codes = np.fromiter(
+        (idx.setdefault(t, len(idx)) for t in toks), dtype=np.int64, count=len(toks)
+    )
+    return TokenBatch(
+        codes,
+        pd.Series(list(idx.keys()), dtype="object"),
+        np.fromiter(map(len, toks), dtype=np.int64, count=len(toks)),
+        np.asarray(uids, dtype=np.int64),
+        np.asarray(starts, dtype=np.int64),
     )
 
 

@@ -1,7 +1,8 @@
 """Vectorized extraction kernel — the Arrow-batch hot path for Spark.
 
 Processes a whole pandas batch of interleaved documents at once:
-tokenization via one precompiled regex over a Series (C loop), feature
+tokenization via one vectorized megastring pass with arrow-side dedup
+(analyzer.tokenize_spans), feature
 columns via pandas str ops, emission scoring via per-template id maps +
 dense weight-table gathers, Viterbi batched across every sequence in the
 batch, and cluster/offset assembly from cumulative-sum char positions.
@@ -24,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from astrospark.analyzer import TOKEN_RE, tokenize_spans
+from astrospark.analyzer import tokenize_spans
 from astrospark.crf import CrfModel, viterbi_batched
 from astrospark.features import compute_columns
 from astrospark.lexicon import _WS_TOKENS, END

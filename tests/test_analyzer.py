@@ -120,3 +120,65 @@ def test_tokenize_spans_empty_and_blank_units():
     _, lists = _spans_to_token_lists(texts)
     for t, got in zip(texts, lists):
         assert got == tokenize(t), repr(t)
+
+
+def test_tokenize_spans_lone_surrogate_fallback():
+    # surrogateescape-decoded bytes produce lone surrogates that utf-32/
+    # utf-8 refuse to encode; the batch path must fall back to the per-text
+    # regex tokenizer instead of raising for the whole batch
+    texts = ["M4 \ud800 end", "plain GRB 050219", "", "\udcff\udcfe"]
+    _, lists = _spans_to_token_lists(texts)
+    for t, got in zip(texts, lists):
+        assert got == tokenize(t), repr(t)
+
+
+def test_class_tables_concurrent_growth():
+    # the class-table cache is shared across the ThreadingHTTPServer's
+    # request threads: hammer it from many threads with interleaved small
+    # (ascii) and large (astral) maxcodes — the pre-fix check-then-update
+    # cache let a small publish land after a large one and crash an
+    # in-flight gather with IndexError
+    import threading
+
+    import astrospark.analyzer as A
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(8)
+
+    def worker(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        try:
+            barrier.wait()
+            for _ in range(300):
+                A._CLS = {"size": 0}  # force rebuild races
+                if rng.integers(0, 2):
+                    texts = ["ascii only M4"]
+                else:
+                    texts = ["astral \U0001F600 GRB 050219"]
+                batch = tokenize_spans(texts)
+                assert len(batch.codes) == len(tokenize(texts[0]))
+        except BaseException as e:  # noqa: BLE001 — collect for main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[0]
+
+
+def test_class_tables_incremental_growth_consistent():
+    # growing in steps must yield the same digit table as one big build
+    import astrospark.analyzer as A
+
+    A._CLS = {"size": 0}
+    small = A._class_tables(0x200)
+    stepped = A._class_tables(0x11000)
+    A._CLS = {"size": 0}
+    direct = A._class_tables(0x11000)
+    assert stepped["size"] == direct["size"]
+    assert np.array_equal(stepped["digit"], direct["digit"])
+    assert np.array_equal(stepped["delim"], direct["delim"])
+    assert np.array_equal(stepped["alpha"], direct["alpha"])
+    assert small["size"] >= 0x201  # snapshot the caller got stays valid
