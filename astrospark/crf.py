@@ -101,13 +101,14 @@ def shift_codes(codes: np.ndarray, seq_ids: np.ndarray, d: int) -> np.ndarray:
 
 
 class CrfModel:
-    __slots__ = ("vocabs", "weights", "trans", "_indexes")
+    __slots__ = ("vocabs", "weights", "trans", "_indexes", "_ctab")
 
     def __init__(self, vocabs: list[dict], weights: list[np.ndarray], trans: np.ndarray):
         self.vocabs = vocabs
         self.weights = weights
         self.trans = trans
         self._indexes: list[pd.Index] | None = None
+        self._ctab = None
 
     def _vocab_index(self, k: int) -> pd.Index:
         """Hash index over template k's observation vocabulary; position ==
@@ -122,6 +123,69 @@ class CrfModel:
                 for v in self.vocabs
             ]
         return self._indexes[k]
+
+    def _compound_tables(self):
+        """Integer-key probe tables for the compound templates, built once
+        per model. Every compound vocab key is split on SEP into its
+        component observation strings (exactly len(spec) parts — verified;
+        any undecomposable key disables the tables and the scorer keeps the
+        string path). Components get dense ids from one shared index, and
+        each vocab key becomes a mixed-radix int64 (base B = #components+1,
+        leaving digit B-1 free as the not-in-any-vocab sentinel for batch
+        tokens never seen in training). A batch combo then matches a vocab
+        row iff its component ids match digit-for-digit — equivalent to the
+        string join+probe whenever batch components are SEP-free, which the
+        scorer checks per batch (see emissions).
+        """
+        if self._ctab is None:
+            comps: set[str] = {BOUNDARY}
+            split: dict[int, list[list[str]]] = {}
+            ok = True
+            for k, (_name, spec) in enumerate(TEMPLATES):
+                p = len(spec)
+                if p <= 1:
+                    continue
+                rows = []
+                for key in self.vocabs[k]:
+                    parts = key.split(SEP)
+                    if len(parts) != p:
+                        ok = False
+                        break
+                    rows.append(parts)
+                if not ok:
+                    break
+                split[k] = rows
+                for parts in rows:
+                    comps.update(parts)
+            if ok:
+                comp_index = pd.Index(np.array(sorted(comps), dtype=object))
+                B = len(comp_index) + 1
+                max_p = max((len(TEMPLATES[k][1]) for k in split), default=1)
+                # mixed-radix keys must fit int64
+                ok = B**max_p < 2**62
+            if ok:
+                boundary_cid = int(comp_index.get_loc(BOUNDARY))
+                key_idx: dict[int, pd.Index] = {}
+                for k, rows in split.items():
+                    if rows:
+                        p = len(rows[0])
+                        cids = (
+                            comp_index.get_indexer(
+                                np.array(rows, dtype=object).ravel()
+                            )
+                            .reshape(len(rows), p)
+                            .astype(np.int64)
+                        )
+                        keys = np.zeros(len(rows), dtype=np.int64)
+                        for j in range(p):
+                            keys = keys * B + cids[:, j]
+                        key_idx[k] = pd.Index(keys)
+                    else:
+                        key_idx[k] = pd.Index(np.empty(0, dtype=np.int64))
+                self._ctab = (comp_index, B, boundary_cid, key_idx)
+            else:
+                self._ctab = False
+        return self._ctab or None
 
     def save(self, path: str) -> None:
         arrays: dict[str, np.ndarray] = {"trans": self.trans}
@@ -198,6 +262,31 @@ class CrfModel:
             if key not in shifted:
                 shifted[key] = shift_codes(col_codes(c), seq_ids, d)
             return shifted[key]
+
+        ccodes: dict[int, np.ndarray | None] = {}
+
+        def col_ccodes(c: int, ctab) -> np.ndarray | None:
+            """Column c's per-unique component ids for the compound
+            integer-key path (boundary id appended so shifted code -1
+            gathers it), or None when a batch value contains SEP — the
+            one case where string-join equality and componentwise
+            equality can diverge."""
+            if c not in ccodes:
+                col_codes(c)  # materialize uniques[c]
+                u = uniques[c]
+                comp_index, _B, boundary_cid, _ki = ctab
+                if len(u) and (
+                    pd.Series(u, dtype=object)
+                    .str.contains(SEP, regex=False)
+                    .to_numpy(dtype=bool)
+                    .any()
+                ):
+                    ccodes[c] = None
+                else:
+                    cid = comp_index.get_indexer(u).astype(np.int64)
+                    cid[cid < 0] = len(comp_index)  # unseen-token sentinel
+                    ccodes[c] = np.append(cid, np.int64(boundary_cid))
+            return ccodes[c]
 
         # one reusable (n, L) float32 gather buffer for per-template takes
         # — per-template temp allocations (6+ MB each) were ~45% of the
@@ -300,8 +389,30 @@ class CrfModel:
             vocab = self.vocabs[k]
             w = self.weights[k]
             oov = len(vocab)
-            # combine component codes into one integer key, dedupe, and
-            # build observation strings only for the unique combos
+            # integer-key fast path: probe the vocab with mixed-radix
+            # component-id keys instead of building join strings for every
+            # unique combo. Exact iff batch components are SEP-free (then
+            # string-join equality == componentwise equality); a SEP-bearing
+            # batch column falls back to the string path below.
+            ctab = self._compound_tables()
+            if ctab is not None:
+                cc = [col_ccodes(c, ctab) for _d, c in spec]
+                if all(x is not None for x in cc):
+                    comp_index, B, _bcid, key_idx = ctab
+                    comb = None
+                    for (d, c), cid_ext in zip(spec, cc):
+                        sc = get_shifted(d, c)
+                        pcode = cid_ext[sc]  # -1 hits the appended boundary id
+                        comb = pcode if comb is None else comb * B + pcode
+                    inv, ucomb = pd.factorize(comb)
+                    row = key_idx[k].get_indexer(np.asarray(ucomb, dtype=np.int64))
+                    row[row < 0] = oov
+                    np.take(w[row], inv, axis=0, out=tmp)
+                    scores += tmp
+                    continue
+            # string path (fallback): combine component codes into one
+            # integer key, dedupe, and build observation strings only for
+            # the unique combos
             comb = None
             bases = []
             for d, c in spec:
@@ -389,14 +500,33 @@ def viterbi_batched(emit: np.ndarray, seq_ids: np.ndarray, trans: np.ndarray,
         delta = em[:, 0, :].copy()  # (S, L)
         psi = np.zeros((S, Tmax, N_LABELS), dtype=np.int8)
         active_len = ls
-        for t in range(1, Tmax):
-            cand = delta[:, :, None] + transT[None, :, :]  # (S, L, L)
-            best_prev = cand.argmax(axis=1)  # (S, L)
-            best_score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
-            new_delta = best_score + em[:, t, :]
-            alive = (active_len > t)[:, None]
-            delta = np.where(alive, new_delta, delta)
-            psi[:, t, :] = best_prev
+        if N_LABELS == 3:
+            # unrolled 3-label max: the same cand[s,i,j] = delta[s,i] +
+            # trans[i,j] scalars, with argmax's first-max tie-break
+            # reproduced by strict > comparisons (lower prev index wins
+            # ties) — bit-identical to the generic path below
+            t0c, t1c, t2c = transT[0], transT[1], transT[2]
+            for t in range(1, Tmax):
+                v0 = delta[:, 0:1] + t0c
+                v1 = delta[:, 1:2] + t1c
+                v2 = delta[:, 2:3] + t2c
+                p01 = v1 > v0
+                m01 = np.where(p01, v1, v0)
+                best_prev = np.where(v2 > m01, 2, p01)
+                best_score = np.maximum(m01, v2)
+                new_delta = best_score + em[:, t, :]
+                alive = (active_len > t)[:, None]
+                delta = np.where(alive, new_delta, delta)
+                psi[:, t, :] = best_prev
+        else:
+            for t in range(1, Tmax):
+                cand = delta[:, :, None] + transT[None, :, :]  # (S, L, L)
+                best_prev = cand.argmax(axis=1)  # (S, L)
+                best_score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
+                new_delta = best_score + em[:, t, :]
+                alive = (active_len > t)[:, None]
+                delta = np.where(alive, new_delta, delta)
+                psi[:, t, :] = best_prev
         last = delta.argmax(axis=1)  # (S,)
         # backtrack (vectorized across the bucket)
         labels_pad = np.zeros((S, Tmax), dtype=np.int64)

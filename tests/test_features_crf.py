@@ -92,3 +92,59 @@ def test_model_artifact_roundtrip(tmp_path, artifacts):
     assert len(m2.vocabs) == len(TEMPLATES)
     for a, b in zip(model.weights, m2.weights):
         assert np.allclose(a, b)
+
+
+def test_compound_int_path_matches_string_path(artifacts):
+    """The mixed-radix integer compound probe must be bit-identical to the
+    string-join probe, including the NaN→boundary factorize quirk and the
+    SEP-bearing-token fallback."""
+    _, _, model = artifacts
+    assert model._compound_tables() is not None  # shipped vocabs decompose
+    rng = np.random.default_rng(3)
+    n = 80
+    toks = np.array(["alpha", "beta", "NGC", "1275", "SDSS"], dtype=object)
+    col0 = toks[rng.integers(0, len(toks), n)].astype(object)
+    col0[7] = np.nan  # factorize code -1: boundary on both paths
+    cols = [col0] + [np.array(["x"] * n, dtype=object) for _ in range(17)]
+    seq = np.zeros(n, dtype=np.int64)
+    seq[40:] = 1
+    e_int = model.emissions(cols, seq)
+    model._ctab = False
+    try:
+        e_str = model.emissions(cols, seq)
+    finally:
+        model._ctab = None
+    assert np.array_equal(e_int, e_str)
+
+    # a SEP inside a token makes join-equality ambiguous — the scorer must
+    # fall back to the string path (and therefore stay equal to it)
+    col0_sep = col0.copy()
+    col0_sep[3] = "a\x1fb"
+    cols[0] = col0_sep
+    e_int2 = model.emissions(cols, seq)
+    model._ctab = False
+    try:
+        e_str2 = model.emissions(cols, seq)
+    finally:
+        model._ctab = None
+    assert np.array_equal(e_int2, e_str2)
+
+
+def test_viterbi_unrolled_tie_breaks_match_scalar():
+    """Integer-valued emissions/transitions create exact score ties; the
+    unrolled 3-label forward step must reproduce argmax's first-max
+    tie-break (lower previous label wins)."""
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n_seq = int(rng.integers(1, 30))
+        lens = rng.integers(1, 50, n_seq)
+        seq = np.repeat(np.arange(n_seq), lens)
+        n = int(lens.sum())
+        emit = rng.integers(-3, 4, (n, N_LABELS)).astype(np.float64)
+        trans = rng.integers(-2, 3, (N_LABELS, N_LABELS)).astype(np.float32)
+        got = viterbi_batched(emit, seq, trans)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = 0
+        for s, ln in zip(starts, lens):
+            single = viterbi_single(emit[s : s + ln], trans.astype(np.float64))
+            assert np.array_equal(got[s : s + ln], single)
