@@ -291,11 +291,17 @@ def write_baseline_md() -> None:
             )
             + "\n"
         )
-    # retired-row justification (VERDICT r2 #2 "drop the row with the
-    # justification inline"): quantified from measured artifacts, not prose
+    # small-corpus-regime caveat (VERDICT r2 #2 asked the 150k row's
+    # noise to be justified inline): quantified from measured artifacts,
+    # not prose. Two historical shapes: the r3-era series was RETIRED
+    # (scaling_150000.json.dropped) because its windows never cleared
+    # 0.8; a later series of steal-gated runs did clear it, so a live
+    # 150k row can coexist with the dropped file — the note must then
+    # read as a caveat on the live row, not claim the row is absent.
     small_note = ""
     oh_path = os.path.join(bench, "job_overhead.json")
     dropped_path = os.path.join(bench, "scaling_150000.json.dropped")
+    live_150k = os.path.exists(os.path.join(bench, "scaling_150000.json"))
     if os.path.exists(oh_path) and os.path.exists(dropped_path):
         with open(oh_path) as fh:
             oh = json.load(fh)["best_of_3_sec_by_cpus"]
@@ -304,12 +310,22 @@ def write_baseline_md() -> None:
         lo, hi = dr["n_lo"], dr["n_hi"]
         lo_core = round((lo["n_docs"] / (lo["best_sec"] - oh["2"])) / 2, 0)
         hi_core = round((hi["n_docs"] / (hi["best_sec"] - oh["8"])) / 8, 0)
-        small_note = (
-            "\n## Why there is no 150k-doc row (retired, data in "
+        heading = (
+            "\n## Small-corpus regime: read the 150k row with this caveat\n\n"
+            "An earlier 150k series (retired, data in\n"
+            "scaling_150000.json.dropped) never cleared 0.8; the live row\n"
+            "above comes from a later series of steal-gated windows that\n"
+            "did. Below ~300k docs the metric is NOISE-LIMITED on this\n"
+            "host, for two measured reasons:\n\n"
+            if live_150k
+            else "\n## Why there is no 150k-doc row (retired, data in "
             "scaling_150000.json.dropped)\n\n"
             "Below ~300k docs the metric is unresolvable on this host, for two\n"
             "measured reasons:\n\n"
-            f"1. **Fixed per-job cost** (500-doc job, best-of-3 — reproduce with\n"
+        )
+        small_note = (
+            heading
+            + f"1. **Fixed per-job cost** (500-doc job, best-of-3 — reproduce with\n"
             f"   `python scripts/scaling_bench.py --overhead`): {oh['2']}s at\n"
             f"   local[2], {oh['8']}s at local[8], {oh['32']}s at local[32] of driver\n"
             "   scheduling/stage setup that does not shrink with cores — the Amdahl\n"
@@ -319,14 +335,14 @@ def write_baseline_md() -> None:
             "2. **Window-pairing variance**: with 15-45s jobs, each measurement\n"
             "   samples one short host window, and per-level best-merging can pair\n"
             "   a lucky N window with never-lucky 4N windows. Overhead-corrected\n"
-            f"   per-core rates show it: the 150k series' merged best windows imply\n"
+            f"   per-core rates show it: the retired series' merged best windows imply\n"
             f"   {lo_core:.0f} docs/s/core at N vs {hi_core:.0f} at 4N, while the 600k row —\n"
             "   same code, same per-doc work, 4-12× longer jobs — measures\n"
             "   ~1620 docs/s/core at BOTH levels (parity). The level asymmetry is\n"
             "   measurement noise, not engine behavior; jobs ≥ 300k docs average\n"
             "   over it.\n\n"
             "The north rule models a 10^12-doc backfill (multi-hour jobs), where\n"
-            "the fixed per-job seconds vanish — the ≥300k rows above are the\n"
+            "the fixed per-job seconds vanish — the ≥300k rows are the\n"
             "representative regime, and they clear 0.8 without asterisks.\n"
         )
     with open(os.path.join(bench, "BASELINE.md"), "w") as fh:
