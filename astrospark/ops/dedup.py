@@ -153,15 +153,27 @@ def minhash_signature(d: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     shingles flow straight into the groupBy — map-side partial min means
     only k minhash strings per doc ever hit the shuffle, vs a full
     (doc, shingle) shuffle for distinct-then-aggregate.
+
+    The hash windows are PROJECTED before the aggregation rather than
+    embedded in the agg expressions: Spark's aggregate codegen does not
+    common-subexpression-eliminate across aggregate functions, so an
+    md5 inside each of the 16 min() buffers evaluates 16 md5s per
+    shingle row; a projection evaluates the 4 distinct md5s once and
+    the mins reduce plain 8-char strings.
     """
     sh = _shingles(d, dedup=False)
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{s // 4}#"), F.col("shingle"))), (s % 4) * 8 + 1, 8)
-        ).alias(f"mh_{s}")
-        for s in range(seeds)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    windows = sh.select(
+        "doc_id",
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{s // 4}#"), F.col("shingle"))), (s % 4) * 8 + 1, 8
+            ).alias(f"w_{s}")
+            for s in range(seeds)
+        ],
+    )
+    return windows.groupBy("doc_id").agg(
+        *[F.min(f"w_{s}").alias(f"mh_{s}") for s in range(seeds)]
+    )
 
 
 MAX_BUCKET_DEFAULT = 1000
