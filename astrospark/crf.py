@@ -264,6 +264,11 @@ class CrfModel:
             return shifted[key]
 
         ccodes: dict[int, np.ndarray | None] = {}
+        # canonical consecutive-run compound caches (see the compound
+        # branch): boundary-padded per-position component codes per column,
+        # and one factorized adjacent p-gram key array per (column, p)
+        canon_ext: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        canon_gram: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
         def col_ccodes(c: int, ctab) -> np.ndarray | None:
             """Column c's per-unique component ids for the compound
@@ -396,6 +401,58 @@ class CrfModel:
             # batch column falls back to the string path below.
             ctab = self._compound_tables()
             if ctab is not None:
+                # canonical consecutive-run sub-path: every shipped compound
+                # template is an adjacent p-gram of ONE column at some start
+                # offset d0 (bigrams at d0 ∈ {-2,-1,0,1}, trigrams at
+                # {-2,0}), so all of them are reads of ONE canonical
+                # adjacent-p-gram array at shifted positions. Build the
+                # column's component codes once with TWO boundary sentinels
+                # padded on each side of every sequence (offsets reach ±2,
+                # and pads of adjacent sequences compose to the correct
+                # all-boundary combos), form p-gram mixed-radix keys over
+                # the padded array, and factorize ONCE per (column, p) —
+                # replacing one full-length factorize PER TEMPLATE with one
+                # per gram order. Key values are identical digit-for-digit
+                # to the per-template combine (same ascending-offset radix
+                # order, same boundary id for out-of-range and NaN-coded
+                # positions), so the probed weight rows are bit-identical.
+                offs = [d for d, _c in spec]
+                cset = {c for _d, c in spec}
+                run_ok = len(cset) == 1 and offs == list(
+                    range(offs[0], offs[0] + len(spec))
+                )
+                cid_run = col_ccodes(next(iter(cset)), ctab) if run_ok else None
+                if cid_run is not None:
+                    c0, p, d0 = next(iter(cset)), len(spec), offs[0]
+                    _ci, B, bcid, key_idx = ctab
+                    if c0 not in canon_ext:
+                        change = np.empty(n, dtype=bool)
+                        change[0] = True
+                        change[1:] = seq_ids[1:] != seq_ids[:-1]
+                        rank = np.cumsum(change) - 1
+                        ext_pos = np.arange(n, dtype=np.int64) + 2 + 4 * rank
+                        m_ext = n + 4 * int(rank[-1] + 1)
+                        pext = np.full(m_ext, bcid, dtype=np.int64)
+                        pext[ext_pos] = cid_run[col_codes(c0)]
+                        canon_ext[c0] = (pext, ext_pos)
+                    pext, ext_pos = canon_ext[c0]
+                    if (c0, p) not in canon_gram:
+                        hi = len(pext) - p + 1
+                        comb = pext[:hi].copy()
+                        for j in range(1, p):
+                            comb *= B
+                            comb += pext[j : hi + j]
+                        inv, uk = pd.factorize(comb)
+                        canon_gram[(c0, p)] = (
+                            inv.astype(np.int64),
+                            np.asarray(uk, dtype=np.int64),
+                        )
+                    inv, uk = canon_gram[(c0, p)]
+                    row = key_idx[k].get_indexer(uk).astype(np.int64)
+                    row[row < 0] = oov
+                    np.take(w[row], inv[ext_pos + d0], axis=0, out=tmp)
+                    scores += tmp
+                    continue
                 cc = [col_ccodes(c, ctab) for _d, c in spec]
                 if all(x is not None for x in cc):
                     comp_index, B, _bcid, key_idx = ctab

@@ -231,48 +231,81 @@ def _process_units(unit_doc, unit_base, unit_texts, vocab, trie, model):
     )
     unit_lo = np.searchsorted(cf_units, obj_units, side="left")
     unit_hi = np.searchsorted(cf_units, obj_units, side="right")
+
+    # per-cluster metadata, vectorized over ALL clusters at once (the
+    # python walk below then runs on plain-int lists — only the
+    # sequential `pos` chain and the text char probes stay per-cluster):
+    #   g_ts / g_te — global token range [ts, te): unit start for the
+    #   unit's first cluster (the reference walks from position 0), else
+    #   this cluster's first eligible token; te = next cluster's first
+    #   eligible token while in the same unit, else the unit end
+    ncl = len(cluster_first)
+    if ncl:
+        first_cl = np.empty(ncl, dtype=bool)
+        first_cl[0] = True
+        first_cl[1:] = cf_units[1:] != cf_units[:-1]
+        nxt_first = np.empty(ncl, dtype=np.int64)
+        if ncl > 1:
+            nxt_first[:-1] = elig_idx[cluster_first[1:]]
+        nxt_first[-1] = 0  # overwritten by the unit-end branch below
+        last_cl = np.empty(ncl, dtype=bool)
+        last_cl[:-1] = first_cl[1:]
+        last_cl[-1] = True
+        u_end = unit_starts[cf_units] + counts[cf_units]
+        g_te_a = np.where(last_cl, u_end, nxt_first)
+        g_ts_a = np.where(first_cl, unit_starts[cf_units], elig_idx[cluster_first])
+        span_a = np.where(
+            g_te_a > g_ts_a,
+            char_end[np.maximum(g_te_a - 1, 0)] - char_start[g_ts_a],
+            0,
+        )
+        # leading literal ' ' tokens (start-skip) — only possible for the
+        # first cluster of the unit: run length of space tokens from the
+        # unit start, found with one searchsorted over non-space positions
+        n_lead_a = np.zeros(ncl, dtype=np.int64)
+        f_idx = np.flatnonzero(first_cl & is_space[g_ts_a])
+        if len(f_idx):
+            nonspace = np.flatnonzero(~is_space)
+            if len(nonspace):
+                ins = np.searchsorted(nonspace, g_ts_a[f_idx])
+                nxt_ns = np.where(
+                    ins < len(nonspace),
+                    nonspace[np.minimum(ins, len(nonspace) - 1)],
+                    n,
+                )
+            else:
+                nxt_ns = np.full(len(f_idx), n, dtype=np.int64)
+            n_lead_a[f_idx] = np.minimum(nxt_ns, g_te_a[f_idx]) - g_ts_a[f_idx]
+        cs_l = char_start[g_ts_a].tolist()
+        ce_l = char_end[np.maximum(g_te_a - 1, 0)].tolist()
+        span_l = span_a.tolist()
+        n_lead_l = n_lead_a.tolist()
+        core_l = cores[cluster_first].astype(bool).tolist()
+
     for ui, lo, hi in zip(obj_units.tolist(), unit_lo.tolist(), unit_hi.tolist()):
-        first_list = cluster_first[lo:hi]
-        if not len(first_list):
+        if lo >= hi:
             continue
         text = unit_texts[ui]
         base = unit_base[ui]
         di = unit_doc[ui]
         L = len(text)
-        ubase = unit_starts[ui]
-        ucount = counts[ui]
 
         pos = 0
-        for k_i, first in enumerate(first_list):
-            # cluster token range [ts, te) in LOCAL token indices
-            ts_local = 0 if k_i == 0 else int(elig_idx[first] - ubase)
-            if k_i + 1 < len(first_list):
-                te_local = int(elig_idx[first_list[k_i + 1]] - ubase)
-            else:
-                te_local = int(ucount)
-            g_ts = ubase + ts_local
-            g_te = ubase + te_local
-
+        for j in range(lo, hi):
             # verbatim pos walk (AstroParser.java:700-723), cluster-level
             if pos < L - 1 and text[pos] == " ":
                 pos += 1
             if pos < L - 1 and text[pos] == "\n":
                 pos += 1
-            # leading literal ' ' tokens (start-skip) — only possible for
-            # the first cluster of the unit
-            n_lead = 0
-            if k_i == 0:
-                while ts_local + n_lead < te_local and is_space[g_ts + n_lead]:
-                    n_lead += 1
-            tok_span = int(char_end[g_te - 1] - char_start[g_ts]) if g_te > g_ts else 0
-            pos += n_lead
-            end_pos = pos + (tok_span - n_lead)
+            nl = n_lead_l[j]
+            pos += nl
+            end_pos = pos + (span_l[j] - nl)
             if end_pos > 0 and L >= end_pos and text[end_pos - 1] == "\n":
                 end_pos -= 1
             if end_pos > 0 and L >= end_pos and text[end_pos - 1] == " ":
                 end_pos -= 1
-            if cores[first]:
-                raw = java_trim(text[char_start[g_ts] : char_end[g_te - 1]])
+            if core_l[j]:
+                raw = java_trim(text[cs_l[j] : ce_l[j]])
                 rows.append((di, "object", raw, "", base + pos, base + end_pos))
             pos = end_pos
     return rows
