@@ -229,6 +229,8 @@ def main() -> None:
                 3,
             )
             merged["runs_merged"] = prior.get("runs_merged", 1) + 1
+            if prior.get("note"):  # series annotations survive merges
+                merged["note"] = prior["note"]
             result = merged
             print("merged:", json.dumps({k: result[k] for k in ("scaling_efficiency", "runs_merged")}))
         else:
@@ -310,19 +312,31 @@ def write_baseline_md() -> None:
         lo, hi = dr["n_lo"], dr["n_hi"]
         lo_core = round((lo["n_docs"] / (lo["best_sec"] - oh["2"])) / 2, 0)
         hi_core = round((hi["n_docs"] / (hi["best_sec"] - oh["8"])) / 8, 0)
-        heading = (
-            "\n## Small-corpus regime: read the 150k row with this caveat\n\n"
-            "An earlier 150k series (retired, data in\n"
-            "scaling_150000.json.dropped) never cleared 0.8; the live row\n"
-            "above comes from a later series of steal-gated windows that\n"
-            "did. Below ~300k docs the metric is NOISE-LIMITED on this\n"
-            "host, for two measured reasons:\n\n"
-            if live_150k
-            else "\n## Why there is no 150k-doc row (retired, data in "
-            "scaling_150000.json.dropped)\n\n"
-            "Below ~300k docs the metric is unresolvable on this host, for two\n"
-            "measured reasons:\n\n"
-        )
+        if live_150k:
+            with open(os.path.join(bench, "scaling_150000.json")) as fh:
+                live_eff = json.load(fh)["scaling_efficiency"]
+            live_state = (
+                "a series of steal-gated windows that cleared 0.8"
+                if live_eff >= 0.8
+                else f"steal-gated windows whose merged estimate currently "
+                f"reads {live_eff} (its own note above explains the state "
+                "of that series)"
+            )
+            heading = (
+                "\n## Small-corpus regime: read the 150k row with this caveat\n\n"
+                "An earlier 150k series (retired, data in\n"
+                "scaling_150000.json.dropped) never cleared 0.8; the live row\n"
+                f"above comes from {live_state}.\n"
+                "Below ~300k docs the metric is NOISE-LIMITED on this\n"
+                "host, for two measured reasons:\n\n"
+            )
+        else:
+            heading = (
+                "\n## Why there is no 150k-doc row (retired, data in "
+                "scaling_150000.json.dropped)\n\n"
+                "Below ~300k docs the metric is unresolvable on this host, for two\n"
+                "measured reasons:\n\n"
+            )
         small_note = (
             heading
             + f"1. **Fixed per-job cost** (500-doc job, best-of-3 — reproduce with\n"
