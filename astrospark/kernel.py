@@ -28,7 +28,7 @@ import pandas as pd
 from astrospark.analyzer import tokenize_spans
 from astrospark.crf import CrfModel, viterbi_batched
 from astrospark.features import compute_columns
-from astrospark.lexicon import _WS_TOKENS, END
+from astrospark.lexicon import _WS_TOKENS, flatten_trie
 from astrospark.oracle import LINE_KINDS, TEXT_KINDS, is_blank, java_trim
 from astrospark.templates import LABEL_BEGIN, LABEL_OTHER
 from astrospark.unicode_norm import NORMALIZE_TABLE
@@ -136,48 +136,66 @@ def _process_units(unit_doc, unit_base, unit_texts, vocab, trie, model):
     char_start = batch.char_start
     char_end = char_start + tok_len
 
-    # gazetteer interval flags (J2) — candidate-pruned trie scan: root
-    # membership is evaluated once per DISTINCT token; the python descent
-    # loop only runs from root-hit positions (a few % of tokens), with
-    # the same greedy longest-match / ws-skip / restart-after-match
-    # semantics as the scalar matcher (lexicon.match_positions, fuzz- and
-    # golden-checked against it via the oracle suite)
+    # gazetteer interval flags (J2) — level-synchronous VECTORIZED trie
+    # descent over the flattened integer trie (lexicon.flatten_trie):
+    # alphabet ids resolve once per DISTINCT token, root hits come from a
+    # dense gather, and each depth level advances every still-active
+    # candidate with one hash probe + gathers (the python per-candidate
+    # walk did ~100k dict.gets per 3k-doc batch). Greedy longest-match /
+    # ws-skip semantics are identical to the scalar matcher
+    # (lexicon.match_positions, fuzz- and golden-checked via the oracle
+    # suite); the restart-after-match rule is applied afterwards in a
+    # tiny sequential pass over matches only — sound because each
+    # candidate's descent is independent, so discarding matches that
+    # start inside an earlier accepted match reproduces the scan order.
     in_interval = np.zeros(n, dtype=bool)
     u_ws = uniq_ser.isin(_WS_TOKENS).to_numpy(dtype=bool)
-    u_root = np.fromiter(
-        (u in trie for u in uniq_arr), dtype=bool, count=len(uniq_arr)
-    )
-    cand_idx = np.flatnonzero(u_root[tok_codes])
+    alph, A, root_child, trans_index, trie_children, trie_is_end = flatten_trie(trie)
+    u_alph = alph.get_indexer(uniq_arr).astype(np.int64)
+    u_first = np.where(u_alph >= 0, root_child[np.maximum(u_alph, 0)], -1)
+    first_child = u_first[tok_codes]
+    cand_idx = np.flatnonzero(first_child >= 0)
     if len(cand_idx):
         unit_ends = unit_starts + counts
         cand_end = unit_ends[
             np.searchsorted(unit_starts, cand_idx, side="right") - 1
         ]
-        K = len(cand_idx)
-        k = 0
-        while k < K:
-            i = int(cand_idx[k])
-            end = int(cand_end[k])
-            node = trie
-            j = i
-            last_end = -1
-            while j < end:
-                c = tok_codes[j]
-                if u_ws[c]:
-                    j += 1
-                    continue
-                nxt = node.get(uniq_arr[c])
-                if nxt is None:
-                    break
-                node = nxt
-                if END in node:
-                    last_end = j
-                j += 1
-            k += 1
-            if last_end >= 0:
-                in_interval[i : last_end + 1] = True
-                while k < K and cand_idx[k] <= last_end:
-                    k += 1
+        ws = u_ws[tok_codes]
+        tok_alph = u_alph[tok_codes]
+        # nns[j] = smallest non-ws index >= j (n when none): suffix min
+        nns = np.minimum.accumulate(
+            np.where(~ws, np.arange(n, dtype=np.int64), n)[::-1]
+        )[::-1]
+        nns = np.append(nns, np.int64(n))  # sentinel for j == n
+
+        cur = first_child[cand_idx]
+        last_end = np.where(trie_is_end[cur], cand_idx, np.int64(-1))
+        pos = nns[np.minimum(cand_idx + 1, n)]
+        active = np.flatnonzero(pos < cand_end)
+        while len(active):
+            p = pos[active]
+            ta = tok_alph[p]
+            ok = ta >= 0
+            row = trans_index.get_indexer(
+                cur[active] * A + np.maximum(ta, 0)
+            )
+            ok &= row >= 0
+            adv = active[ok]
+            nxt_nodes = trie_children[row[ok]]
+            cur[adv] = nxt_nodes
+            hit = trie_is_end[nxt_nodes]
+            last_end[adv[hit]] = p[ok][hit]
+            pos[adv] = nns[np.minimum(p[ok] + 1, n)]
+            active = adv[pos[adv] < cand_end[adv]]
+
+        covered = -1
+        starts_l = cand_idx.tolist()
+        ends_l = last_end.tolist()
+        for i, le in zip(starts_l, ends_l):
+            if le < 0 or i <= covered:
+                continue
+            in_interval[i : le + 1] = True
+            covered = le
 
     # eligibility (AstroParser.addFeatures:632-642) — per unique token
     is_space = (uniq_arr == " ")[tok_codes]

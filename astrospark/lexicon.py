@@ -151,3 +151,68 @@ def load_artifacts(path: str | None = None):
     """(vocab frozenset, trie dict) for a gazetteer file — cached per process."""
     names = load_names(path)
     return build_vocab(names), build_trie(names)
+
+
+# flattened-trie cache for the kernel's vectorized descent — one live
+# trie per worker process (same lifecycle as engine._ARTIFACT_CACHE);
+# the trie object itself is kept as the cache key's referent so the
+# id() can never be recycled while the entry is alive
+_FLAT_CACHE: dict[int, tuple] = {}
+
+
+def flatten_trie(trie: dict):
+    """Integer tables for a level-synchronous (vectorized) trie descent.
+
+    Returns ``(alph_index, A, root_child, trans_index, children, is_end)``:
+    BFS node ids with node 0 = root; ``alph_index`` is a pandas hash
+    index over every distinct transition token; ``root_child`` is a
+    dense ``(A,)`` array of the root's children (-1 = none) so candidate
+    detection and the first transition are plain gathers; deeper
+    transitions probe ``trans_index`` (int64 keys ``node_id * A +
+    alph_id``) whose positions index ``children``; ``is_end[node]``
+    marks terminals (the END sentinel key). Semantics are exactly
+    ``match_positions``'s trie walk — the tables are a re-encoding, not
+    a re-interpretation; kernel ≡ scalar-oracle fuzz pins it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    hit = _FLAT_CACHE.get(id(trie))
+    if hit is not None and hit[0] is trie:
+        return hit[1]
+
+    # BFS once to collect nodes and raw (parent, token, child-dict) edges
+    nodes: list[dict] = [trie]
+    edges_parent: list[int] = []
+    edges_tok: list[str] = []
+    is_end_l: list[bool] = [False]
+    i = 0
+    while i < len(nodes):
+        node = nodes[i]
+        for tok, child in node.items():
+            if tok == END:
+                is_end_l[i] = True
+                continue
+            edges_parent.append(i)
+            edges_tok.append(tok)
+            nodes.append(child)
+            is_end_l.append(False)
+        i += 1
+    # child id of edge e is the BFS insertion order: root is 0, then
+    # children append in edge order — so edge e's child id is e + 1
+    n_edges = len(edges_parent)
+    alph = pd.Index(np.unique(np.array(edges_tok, dtype=object)))
+    A = len(alph)
+    tok_ids = alph.get_indexer(np.array(edges_tok, dtype=object)).astype(np.int64)
+    parents = np.array(edges_parent, dtype=np.int64)
+    children = np.arange(1, n_edges + 1, dtype=np.int64)
+    keys = parents * A + tok_ids
+    root_child = np.full(A, -1, dtype=np.int64)
+    root_mask = parents == 0
+    root_child[tok_ids[root_mask]] = children[root_mask]
+    trans_index = pd.Index(keys)
+    is_end = np.array(is_end_l, dtype=bool)
+    tables = (alph, A, root_child, trans_index, children, is_end)
+    _FLAT_CACHE.clear()
+    _FLAT_CACHE[id(trie)] = (trie, tables)
+    return tables
